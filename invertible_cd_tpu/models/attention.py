@@ -1,0 +1,184 @@
+"""Attention blocks with functional controller hook points.
+
+The reference implements prompt-to-prompt by monkey-patching every diffusers
+`Attention.forward` and passing attention probabilities through a stateful
+Python controller (`utils/p2p.py:291-386`). That design is hostile to jit.
+
+Here the hook is a *trace-time closure*: the UNet threads an optional
+`attn_hook(probs, meta) -> probs` callable into every attention layer. The
+pipeline builds the closure per step; any arrays it captures or records flow
+through the surrounding jit as regular traced values, so editing remains a
+single compiled program. `meta` is static layer metadata (place in the UNet,
+cross/self, resolution, store index) mirroring what `register_attention_control`
+derived dynamically.
+
+When no hook is installed the layer uses the fused attention path (no probs
+materialisation) — the generation hot loop never pays for editability.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import FeedForward, GroupNorm32
+
+
+@dataclasses.dataclass(frozen=True)
+class AttnMeta:
+    """Static metadata identifying one attention layer (hook dispatch key).
+
+    `store_key`/`store_index` address the layer in the p2p attention store:
+    the reference stores only layers whose query length is <= 32^2
+    (`utils/p2p.py:147`), in model traversal order per `{place}_{kind}` list.
+    """
+
+    place: str  # "down" | "mid" | "up"
+    is_cross: bool
+    layer_index: int  # global attention layer index in traversal order
+    query_len: int
+    key_len: int
+    heads: int
+
+    @property
+    def kind(self) -> str:
+        return "cross" if self.is_cross else "self"
+
+    @property
+    def store_key(self) -> str:
+        return f"{self.place}_{self.kind}"
+
+
+AttnHook = Callable[[jax.Array, AttnMeta], jax.Array]
+
+
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Fused softmax attention; q/k/v are (B, S, H, D)."""
+    return jax.nn.dot_product_attention(q, k, v)
+
+
+def explicit_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, hook: AttnHook, meta: AttnMeta
+) -> jax.Array:
+    """Attention with materialised probabilities fed through the controller.
+
+    q/k/v are (B, S, H, D); probs exposed to the hook as (B, H, Sq, Sk) —
+    the reference's (batch*heads, Sq, Sk) with batch and heads unflattened.
+    """
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = hook(probs, meta)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention (self when no context is given)."""
+
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        hook: Optional[AttnHook] = None,
+        meta: Optional[AttnMeta] = None,
+    ) -> jax.Array:
+        inner_dim = x.shape[-1]
+        head_dim = inner_dim // self.heads
+        ctx = x if context is None else context
+
+        q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        b, sq, _ = q.shape
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.heads, head_dim)
+        k = k.reshape(b, sk, self.heads, head_dim)
+        v = v.reshape(b, sk, self.heads, head_dim)
+
+        if hook is None:
+            out = fused_attention(q, k, v)
+        else:
+            out = explicit_attention(q, k, v, hook, meta)
+
+        out = out.reshape(b, sq, inner_dim)
+        return nn.Dense(inner_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN -> self-attn -> LN -> cross-attn -> LN -> GEGLU FF, all residual."""
+
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, place, layer_counter, hook):
+        meta_self = _next_meta(layer_counter, place, False, x.shape[1], x.shape[1], self.heads)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + CrossAttention(self.heads, dtype=self.dtype, name="attn1")(
+            h, None, hook, meta_self
+        )
+        meta_cross = _next_meta(
+            layer_counter, place, True, x.shape[1], context.shape[1], self.heads
+        )
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + CrossAttention(self.heads, dtype=self.dtype, name="attn2")(
+            h, context, hook, meta_cross
+        )
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(h)
+        return x
+
+
+def _next_meta(counter: list, place: str, is_cross: bool, sq: int, sk: int, heads: int):
+    meta = AttnMeta(
+        place=place, is_cross=is_cross, layer_index=counter[0],
+        query_len=sq, key_len=sk, heads=heads,
+    )
+    counter[0] += 1
+    return meta
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN -> proj_in -> depth x transformer block -> proj_out."""
+
+    heads: int
+    depth: int = 1
+    use_linear_projection: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, place, layer_counter, hook):
+        b, h, w, c = x.shape
+        residual = x
+        hidden = GroupNorm32(32, epsilon=1e-6, name="norm", dtype=self.dtype)(x)
+        if self.use_linear_projection:
+            hidden = hidden.reshape(b, h * w, c)
+            hidden = nn.Dense(c, dtype=self.dtype, name="proj_in")(hidden)
+        else:
+            hidden = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(hidden)
+            hidden = hidden.reshape(b, h * w, c)
+        for i in range(self.depth):
+            hidden = BasicTransformerBlock(
+                self.heads, dtype=self.dtype, name=f"transformer_blocks_{i}"
+            )(hidden, context, place, layer_counter, hook)
+        if self.use_linear_projection:
+            hidden = nn.Dense(c, dtype=self.dtype, name="proj_out")(hidden)
+            hidden = hidden.reshape(b, h, w, c)
+        else:
+            hidden = hidden.reshape(b, h, w, c)
+            hidden = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(hidden)
+        return hidden + residual

@@ -1,0 +1,176 @@
+"""Shared Flax building blocks for the SD UNet and VAE (NHWC, TPU layouts).
+
+TPU-first reimplementation of the functionality the reference gets from
+diffusers' torch modules (ResnetBlock2D, Timesteps, TimestepEmbedding,
+Downsample2D/Upsample2D). All convs are NHWC so XLA tiles them directly onto
+the MXU; GroupNorm statistics are computed in float32 regardless of the
+compute dtype.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sinusoidal_timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Sinusoidal timestep features (diffusers `Timesteps` semantics; SD uses
+    flip_sin_to_cos=True, shift=0).
+
+    Args:
+      timesteps: (B,) int or float timesteps.
+    Returns:
+      (B, dim) embedding.
+    """
+    half_dim = dim // 2
+    exponent = -np.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = jnp.asarray(timesteps, jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb.astype(dtype)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with float32 statistics (cast back to the compute dtype)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return out.astype(orig_dtype)
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP over timestep features, with the optional guidance
+    conditioning projection (`cond_proj`) used by iCD's w-embedding
+    (reference relies on diffusers `time_cond_proj_dim=512`,
+    `utils/loading.py:48-50`)."""
+
+    embed_dim: int
+    cond_proj_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jax.Array, condition: Optional[jax.Array] = None):
+        if condition is not None:
+            if self.cond_proj_dim is None:
+                raise ValueError("w-embedding passed but cond_proj_dim is unset")
+            cond = nn.Dense(
+                sample.shape[-1], use_bias=False, dtype=self.dtype, name="cond_proj"
+            )(condition)
+            sample = sample + cond
+        h = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(sample)
+        h = nn.silu(h)
+        h = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(h)
+        return h
+
+
+class ResnetBlock2D(nn.Module):
+    """GN -> silu -> conv3x3 -> (+time bias) -> GN -> silu -> conv3x3 + skip."""
+
+    out_channels: int
+    use_conv_shortcut: bool = False  # SD uses 1x1 conv shortcut when C changes
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None):
+        residual = x
+        h = GroupNorm32(self.groups, name="norm1", dtype=self.dtype)(x)
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+            dtype=self.dtype, name="conv1",
+        )(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        h = GroupNorm32(self.groups, name="norm2", dtype=self.dtype)(h)
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+            dtype=self.dtype, name="conv2",
+        )(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(residual)
+        return h + residual
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # diffusers pads asymmetrically (0,1,0,1) for stride-2 conv.
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(
+            self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class GEGLU(nn.Module):
+    """Gated GELU feed-forward input projection (SD transformer FF)."""
+
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        h = GEGLU(dim * self.mult, dtype=self.dtype, name="net_0")(x)
+        return nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
