@@ -1,0 +1,397 @@
+"""Prompt-to-prompt attention controllers as pure functions + explicit state.
+
+Functional redesign of the reference controller hierarchy
+(`utils/p2p.py:18-266`) and its monkey-patching hook
+(`utils/p2p.py:291-386`). The reference mutates Python dicts inside the
+model forward; that cannot live under `jit`. Here:
+
+  * **Static structure** lives in `ControllerSpec` (hashable; part of the
+    jit cache key): controller kind, replace-step ranges, blend setup.
+  * **Per-edit data** lives in `ControllerArrays` (a pytree of arrays):
+    token mappers, per-step cross-replace alphas, equalizers, blend word
+    masks. These are *traced* jit inputs, so editing a new benchmark row
+    reuses the compiled program — the reference recompiles nothing because
+    it runs eagerly; we get the same flexibility at XLA speed.
+  * `ControllerRuntime` wires both into the sampler's `hook_factory` /
+    `step_callback` slots via trace-time closures; attention maps recorded
+    for LocalBlend flow through the trace as ordinary values.
+
+Controller semantics follow reference `utils/p2p.py`:
+  AttentionStore       (p2p.py:138-173)  — accumulate maps <= 32^2 tokens
+  AttentionReplace     (p2p.py:224-232)  — einsum with a 77x77 word mapper
+  AttentionRefine      (p2p.py:235-248)  — gather base attn via alignment
+  AttentionReweight    (p2p.py:251-265)  — scale token columns, chains prev
+  LocalBlend           (p2p.py:18-70)    — spatial mask from 16^2 cross maps
+  SpatialReplace       (p2p.py:125-135)  — copy base latent rows
+The controller edits only the cond half of the batch; the sampler already
+strips the uncond half on the w-conditioned path (see pipelines/sampler.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.attention import AttnMeta
+from .aligner import (
+    MAX_NUM_WORDS,
+    get_refinement_mapper,
+    get_replacement_mapper,
+    get_word_inds,
+)
+
+STORE_MAX_TOKENS = 32 * 32  # store only small-resolution maps (p2p.py:147)
+BLEND_RES = 16  # LocalBlend reads 16x16 cross maps (p2p.py:33-35)
+
+
+# ---------------------------------------------------------------------------
+# Static spec + traced arrays
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class ControllerSpec:
+    """Hashable controller structure (jit-static)."""
+
+    kind: str  # "empty" | "store" | "replace" | "refine" | "spatial_replace"
+    reweight: bool = False
+    batch_size: int = 2  # number of prompts (cond rows)
+    num_steps: int = 4
+    self_replace_range: Tuple[int, int] = (0, 0)  # [lo, hi) in steps
+    local_blend: bool = False
+    has_substruct: bool = False
+    start_blend: int = 0
+    blend_th: Tuple[float, float] = (0.3, 0.3)
+    store_all: bool = False  # keep every <=32^2 map (visualisation store)
+    spatial_stop_inject: int = 0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ControllerArrays:
+    """Traced per-edit data. Unused fields hold size-0 placeholders so the
+    pytree structure (and therefore the jit cache key) stays fixed per spec."""
+
+    cross_replace_alpha: jax.Array  # (num_steps+1, B-1, 1, 1, 77)
+    mapper_matrix: jax.Array  # (B-1, 77, 77) replace; (0,) otherwise
+    mapper_idx: jax.Array  # (B-1, 77) int refine; (0,) otherwise
+    refine_alphas: jax.Array  # (B-1, 1, 1, 77) refine; (0,) otherwise
+    equalizer: jax.Array  # (B-1 or 1, 77) reweight; (0,) otherwise
+    alpha_layers: jax.Array  # (B, 1, 1, 1, 1, 77) local blend; (0,)
+    substruct_layers: jax.Array  # same, optional
+
+
+def _empty() -> np.ndarray:
+    return np.zeros((0,), np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Host-side construction (reference `make_controller`, p2p.py:272-289)
+# ---------------------------------------------------------------------------
+def get_equalizer(
+    text: str,
+    word_select: Union[str, int, Sequence],
+    values: Sequence[float],
+    tokenizer,
+    max_len: int = MAX_NUM_WORDS,
+) -> np.ndarray:
+    """(1, 77) per-token attention scale (reference p2p.py:391-401)."""
+    if isinstance(word_select, (int, str)):
+        word_select = (word_select,)
+    eq = np.ones((1, max_len), np.float32)
+    for word, val in zip(word_select, values):
+        inds = get_word_inds(text, word, tokenizer)
+        eq[:, inds] = val
+    return eq
+
+
+def get_time_words_attention_alpha(
+    prompts: Sequence[str],
+    num_steps: int,
+    cross_replace_steps: Union[float, Dict],
+    tokenizer,
+    max_len: int = MAX_NUM_WORDS,
+) -> np.ndarray:
+    """Per-step, per-target-token mix-in weight for cross-attention editing
+    (reference p2p.py:403-421): 1 inside the replace window, 0 outside;
+    per-word overrides via a {word: (start_frac, end_frac)} dict."""
+    if not isinstance(cross_replace_steps, dict):
+        cross_replace_steps = {"default_": cross_replace_steps}
+    if "default_" not in cross_replace_steps:
+        cross_replace_steps["default_"] = (0.0, 1.0)
+
+    def window(alpha, bounds, prompt_i, word_inds=None):
+        if not isinstance(bounds, (tuple, list)):
+            bounds = (0.0, bounds)
+        start = int(bounds[0] * alpha.shape[0])
+        end = int(bounds[1] * alpha.shape[0])
+        if word_inds is None:
+            word_inds = np.arange(alpha.shape[2])
+        alpha[:start, prompt_i, word_inds] = 0
+        alpha[start:end, prompt_i, word_inds] = 1
+        alpha[end:, prompt_i, word_inds] = 0
+        return alpha
+
+    alpha = np.zeros((num_steps + 1, len(prompts) - 1, max_len), np.float32)
+    for i in range(len(prompts) - 1):
+        alpha = window(alpha, cross_replace_steps["default_"], i)
+    for key, bounds in cross_replace_steps.items():
+        if key == "default_":
+            continue
+        for i in range(1, len(prompts)):
+            inds = get_word_inds(prompts[i], key, tokenizer)
+            if len(inds) > 0:
+                alpha = window(alpha, bounds, i - 1, inds)
+    return alpha.reshape(num_steps + 1, len(prompts) - 1, 1, 1, max_len)
+
+
+def _word_mask(
+    prompts: Sequence[str], words_per_prompt, tokenizer, max_len: int
+) -> np.ndarray:
+    """(B, 1, 1, 1, 1, 77) one-hot token masks for blend words."""
+    m = np.zeros((len(prompts), 1, 1, 1, 1, max_len), np.float32)
+    for i, (prompt, words) in enumerate(zip(prompts, words_per_prompt)):
+        if isinstance(words, str):
+            words = [words]
+        for word in words:
+            m[i, ..., get_word_inds(prompt, word, tokenizer)] = 1.0
+    return m
+
+
+def make_controller(
+    prompts: Sequence[str],
+    tokenizer,
+    num_steps: int,
+    is_replace_controller: bool = True,
+    cross_replace_steps: Union[float, Dict] = 0.8,
+    self_replace_steps: Union[float, Tuple[float, float]] = 0.4,
+    blend_words=None,
+    equalizer_params: Optional[Dict] = None,
+    substruct_words=None,
+    start_blend: float = 0.0,
+    blend_th: Tuple[float, float] = (0.3, 0.3),
+) -> Tuple[ControllerSpec, ControllerArrays]:
+    """Build spec + arrays for an edit (reference `make_controller`,
+    p2p.py:272-289, defaults matching `running/sd1.5/edit.py:428-433`)."""
+    b = len(prompts)
+    if isinstance(self_replace_steps, float):
+        self_replace_steps = (0.0, self_replace_steps)
+    spec = ControllerSpec(
+        kind="replace" if is_replace_controller else "refine",
+        reweight=equalizer_params is not None,
+        batch_size=b,
+        num_steps=num_steps,
+        self_replace_range=(
+            int(num_steps * self_replace_steps[0]),
+            int(num_steps * self_replace_steps[1]),
+        ),
+        local_blend=blend_words is not None,
+        has_substruct=substruct_words is not None,
+        start_blend=int(start_blend * num_steps),
+        blend_th=tuple(blend_th),
+    )
+
+    cra = get_time_words_attention_alpha(
+        prompts, num_steps, cross_replace_steps, tokenizer
+    )
+    if is_replace_controller:
+        mm = get_replacement_mapper(prompts, tokenizer)
+        mi, ra = _empty(), _empty()
+    else:
+        mi_, ra_ = get_refinement_mapper(prompts, tokenizer)
+        mi = mi_.astype(np.int32)
+        ra = ra_.reshape(b - 1, 1, 1, MAX_NUM_WORDS).astype(np.float32)
+        mm = _empty()
+    eq = (
+        get_equalizer(
+            prompts[1], equalizer_params["words"], equalizer_params["values"], tokenizer
+        )
+        if equalizer_params is not None
+        else _empty()
+    )
+    al = (
+        _word_mask(prompts, blend_words, tokenizer, MAX_NUM_WORDS)
+        if blend_words is not None
+        else _empty()
+    )
+    sl = (
+        _word_mask(prompts, substruct_words, tokenizer, MAX_NUM_WORDS)
+        if substruct_words is not None
+        else _empty()
+    )
+    arrays = ControllerArrays(
+        cross_replace_alpha=jnp.asarray(cra),
+        mapper_matrix=jnp.asarray(mm),
+        mapper_idx=jnp.asarray(mi),
+        refine_alphas=jnp.asarray(ra),
+        equalizer=jnp.asarray(eq),
+        alpha_layers=jnp.asarray(al),
+        substruct_layers=jnp.asarray(sl),
+    )
+    return spec, arrays
+
+
+# ---------------------------------------------------------------------------
+# Pure attention edit (reference AttentionControlEdit.forward, p2p.py:196-211)
+# ---------------------------------------------------------------------------
+def _replace_cross(spec: ControllerSpec, arrays: ControllerArrays, base, repl):
+    """base: (H, Sq, 77); repl: (B-1, H, Sq, 77)."""
+    if spec.kind == "replace":
+        out = jnp.einsum(
+            "hpw,bwn->bhpn", base, arrays.mapper_matrix,
+            preferred_element_type=jnp.float32,
+        )
+    else:  # refine
+        gathered = jnp.take(base, arrays.mapper_idx, axis=-1)  # (H,Sq,B-1,77)
+        gathered = jnp.moveaxis(gathered, 2, 0)  # (B-1,H,Sq,77)
+        out = gathered * arrays.refine_alphas + repl * (1.0 - arrays.refine_alphas)
+    if spec.reweight:
+        out = out * arrays.equalizer[:, None, None, :]
+    return out
+
+
+def edit_attention(
+    spec: ControllerSpec,
+    arrays: ControllerArrays,
+    probs: jax.Array,
+    meta: AttnMeta,
+    step: int,
+) -> jax.Array:
+    """Apply the controller to one layer's attention probabilities.
+
+    probs: (B, H, Sq, Sk) — cond rows only, row 0 is the base prompt.
+    `step` and `meta` are static, so the branch structure is resolved at
+    trace time (no lax.cond needed).
+    """
+    if spec.kind in ("empty", "store", "spatial_replace"):
+        return probs
+    base, repl = probs[0], probs[1:]
+    if meta.is_cross:
+        alpha = arrays.cross_replace_alpha[step]  # (B-1, 1, 1, 77)
+        new = _replace_cross(spec, arrays, base, repl)
+        new = new * alpha + (1.0 - alpha) * repl
+        return jnp.concatenate([probs[:1], new.astype(probs.dtype)], axis=0)
+    lo, hi = spec.self_replace_range
+    if lo <= step < hi and meta.query_len <= STORE_MAX_TOKENS:
+        tiled = jnp.broadcast_to(base[None], repl.shape)
+        return jnp.concatenate([probs[:1], tiled], axis=0)
+    return probs
+
+
+# ---------------------------------------------------------------------------
+# LocalBlend (reference p2p.py:18-70)
+# ---------------------------------------------------------------------------
+def _blend_mask(maps, word_mask, th: float, use_pool: bool, out_hw):
+    """maps: (B, L, 1, 16, 16, 77); word_mask: (B,1,1,1,1,77) -> bool (B,1,H,W)."""
+    m = (maps * word_mask).sum(-1).mean(1)  # (B, 1, 16, 16)
+    if use_pool:
+        m = jax.lax.reduce_window(
+            m, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 1, 1),
+            [(0, 0), (0, 0), (1, 1), (1, 1)],
+        )
+    m = jax.image.resize(m, (m.shape[0], 1) + out_hw, method="nearest")
+    m = m / jnp.max(m, axis=(2, 3), keepdims=True)
+    return m > th
+
+
+def local_blend(
+    spec: ControllerSpec,
+    arrays: ControllerArrays,
+    x_t: jax.Array,
+    maps16: List[jax.Array],
+    step: int,
+) -> jax.Array:
+    """Blend edited latents back onto the base outside the edit region.
+
+    x_t: (B, H, W, C) NHWC latents; maps16: accumulated 16x16 cross maps,
+    each (B, heads, 256, 77).
+    """
+    if step + 1 <= spec.start_blend or not maps16:
+        return x_t
+    b = x_t.shape[0]
+    stacked = jnp.concatenate(
+        [m.reshape(b, -1, 1, BLEND_RES, BLEND_RES, MAX_NUM_WORDS) for m in maps16],
+        axis=1,
+    ).astype(jnp.float32)
+    hw = (x_t.shape[1], x_t.shape[2])
+    mask = _blend_mask(stacked, arrays.alpha_layers, spec.blend_th[0], True, hw)
+    mask = mask[:1] | mask  # union with the base row
+    if spec.has_substruct:
+        sub = _blend_mask(
+            stacked, arrays.substruct_layers, spec.blend_th[1], False, hw
+        )
+        mask = mask & (~sub)
+    maskf = mask.astype(x_t.dtype).transpose(0, 2, 3, 1)  # NHWC broadcast
+    return x_t[:1] + maskf * (x_t - x_t[:1])
+
+
+# ---------------------------------------------------------------------------
+# Runtime: wires spec+arrays into the sampler (trace-time closures)
+# ---------------------------------------------------------------------------
+class ControllerRuntime:
+    """Per-run controller glue. Create one per sampling call (it owns
+    trace-time mutable stores); pass `.hook_factory` and `.step_callback`
+    into the sampler."""
+
+    def __init__(self, spec: ControllerSpec, arrays: ControllerArrays):
+        self.spec = spec
+        self.arrays = arrays
+        self._step_maps: List[jax.Array] = []  # this step's 16^2 cross maps
+        self._accum_maps: List[jax.Array] = []  # running sum across steps
+        self.store: Dict[str, List[jax.Array]] = {}  # full store (store_all)
+
+    # -- attention hook -----------------------------------------------------
+    def hook_factory(self, step: int):
+        spec = self.spec
+
+        def hook(probs: jax.Array, meta: AttnMeta) -> jax.Array:
+            if spec.store_all and meta.query_len <= STORE_MAX_TOKENS:
+                self.store.setdefault(meta.store_key, []).append(probs)
+            if (
+                spec.local_blend
+                and meta.is_cross
+                and meta.query_len == BLEND_RES * BLEND_RES
+            ):
+                self._step_maps.append(probs.astype(jnp.float32))
+            return edit_attention(spec, self.arrays, probs, meta, step)
+
+        return hook
+
+    # -- latent callback ----------------------------------------------------
+    def step_callback(self, x_t: jax.Array, step: int) -> jax.Array:
+        spec = self.spec
+        if spec.kind == "spatial_replace":
+            if step < spec.spatial_stop_inject:
+                x_t = jnp.broadcast_to(x_t[:1], x_t.shape)
+            return x_t
+        if spec.local_blend:
+            # Accumulate this step's maps into the running sum (the
+            # reference's `between_steps`, p2p.py:155-162) then blend.
+            if not self._accum_maps:
+                self._accum_maps = list(self._step_maps)
+            else:
+                self._accum_maps = [
+                    a + s for a, s in zip(self._accum_maps, self._step_maps)
+                ]
+            self._step_maps = []
+            x_t = local_blend(spec, self.arrays, x_t, self._accum_maps, step)
+        return x_t
+
+
+def store_controller(num_steps: int = 50, batch_size: int = 1) -> ControllerSpec:
+    """Spec for a pure AttentionStore run (visualisation / analysis)."""
+    return ControllerSpec(
+        kind="store", batch_size=batch_size, num_steps=num_steps, store_all=True
+    )
+
+
+def empty_arrays(num_steps: int, batch_size: int) -> ControllerArrays:
+    z = jnp.asarray(_empty())
+    return ControllerArrays(
+        cross_replace_alpha=jnp.zeros(
+            (num_steps + 1, max(batch_size - 1, 1), 1, 1, MAX_NUM_WORDS), jnp.float32
+        ),
+        mapper_matrix=z, mapper_idx=z, refine_alphas=z,
+        equalizer=z, alpha_layers=z, substruct_layers=z,
+    )

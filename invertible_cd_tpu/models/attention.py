@@ -127,18 +127,18 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context, place, layer_counter, hook):
         meta_self = _next_meta(layer_counter, place, False, x.shape[1], x.shape[1], self.heads)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(self.heads, dtype=self.dtype, name="attn1")(
             h, None, hook, meta_self
         )
         meta_cross = _next_meta(
             layer_counter, place, True, x.shape[1], context.shape[1], self.heads
         )
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(self.heads, dtype=self.dtype, name="attn2")(
             h, context, hook, meta_cross
         )
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(dtype=self.dtype, name="ff")(h)
         return x
 

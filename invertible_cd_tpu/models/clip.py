@@ -85,9 +85,9 @@ class CLIPLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, causal_mask):
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
         x = x + CLIPAttention(self.cfg, dtype=self.dtype, name="self_attn")(h, causal_mask)
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
         h = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
         h = _act(self.cfg.hidden_act)(h)
         h = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
@@ -125,7 +125,7 @@ class CLIPTextModel(nn.Module):
                 penultimate = x
             x = CLIPLayer(c, dtype=self.dtype, name=f"layers_{i}")(x, causal)
 
-        last = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+        last = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)
 
         # Pooled output: hidden state at the EOS token (highest id occurrence,
         # matching CLIP's argmax-based pooling for standard tokenizers).

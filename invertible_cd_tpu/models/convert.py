@@ -1,0 +1,373 @@
+"""Torch checkpoint -> Flax parameter converters.
+
+The reference consumes three artifact families (SURVEY.md C1-C3):
+  * diffusers UNet / VAE state dicts (incl. the guidance-distilled teacher
+    `.pt`, reference `utils/loading.py:46-58`),
+  * transformers CLIP text encoder state dicts,
+  * kohya-format LoRA safetensors (converted from peft at save time,
+    reference `utils/loading.py:10-23`, C2).
+
+These converters are pure key/layout mappers (torch OIHW / (out,in) ->
+Flax HWIO / (in,out)); they accept any mapping of name -> numpy/torch
+tensor, so they work with `torch.load` state dicts and with safetensors
+readers alike. No torch import is required unless tensors are torch.
+
+Naming: the Flax modules in this package deliberately mirror diffusers'
+module tree with '.' -> '_' on indices ("down_blocks.0" -> "down_blocks_0"),
+so conversion is a mechanical path rewrite plus transposes — auditable
+leaf by leaf.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t)
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _dense_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))  # (out,in) -> (in,out)
+
+
+# ---------------------------------------------------------------------------
+# Generic torch-module-path -> flax-path rules
+# ---------------------------------------------------------------------------
+def _flaxify_path(key: str) -> Tuple[Tuple[str, ...], str]:
+    """diffusers/transformers dotted key -> (flax path, leaf kind).
+
+    Returns (path tuple without the trailing weight/bias token, one of
+    "conv_w" | "dense_w" | "norm_w" | "bias" | "embed" | "plain").
+    """
+    parts = key.split(".")
+    leaf = parts[-1]
+    mods = parts[:-1]
+
+    out = []
+    i = 0
+    while i < len(mods):
+        m = mods[i]
+        # collapse numeric indices into the previous name: a.0 -> a_0
+        if i + 1 < len(mods) and mods[i + 1].isdigit():
+            out.append(f"{m}_{mods[i + 1]}")
+            i += 2
+        else:
+            out.append(m)
+            i += 1
+    return tuple(out), leaf
+
+
+_NORM_HINTS = re.compile(
+    r"(^|/)((conv_)?norm(\d|_out|_cross)?|layer_norm\d?|final_layer_norm|"
+    r"group_norm|bn)$"
+)
+
+
+def convert_torch_tree(
+    state_dict: Dict[str, np.ndarray],
+    rename=lambda p: p,
+) -> Dict:
+    """Best-effort structural conversion of a torch state dict into a Flax
+    params tree. `rename` post-processes each flax path tuple (for
+    model-specific quirks like diffusers' `to_out.0`)."""
+    tree: Dict = {}
+    for key, value in state_dict.items():
+        value = _np(value)
+        path, leaf = _flaxify_path(key)
+        path = rename(path)
+        if path is None:
+            continue
+        owner = "/".join(path)
+        if leaf == "weight":
+            if value.ndim == 4:
+                _set(tree, path + ("kernel",), _conv_kernel(value))
+            elif value.ndim == 2:
+                if path[-1] in ("token_embedding",):
+                    _set(tree, path + ("embedding",), value)
+                else:
+                    _set(tree, path + ("kernel",), _dense_kernel(value))
+            else:  # 1-D: norm scale
+                _set(tree, path + ("scale",), value)
+        elif leaf == "bias":
+            _set(tree, path + ("bias",), value)
+        elif leaf in ("running_mean",):
+            _set(tree, path + ("mean",), value)
+        elif leaf in ("running_var",):
+            _set(tree, path + ("var",), value)
+        elif leaf in ("num_batches_tracked",):
+            continue
+        else:
+            _set(tree, path + (leaf,), value)
+        del owner
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# UNet (diffusers UNet2DConditionModel -> models.unet2d.UNet2DCondition)
+# ---------------------------------------------------------------------------
+def _unet_rename(path: Tuple[str, ...]):
+    p = list(path)
+    # diffusers attention output is a ModuleList: to_out.0 -> to_out_0
+    for i, name in enumerate(p):
+        if name == "to_out_0":
+            continue
+        if name == "to_out":
+            p[i] = "to_out_0"
+    # ff.net.0.proj -> ff/net_0/proj ; ff.net.2 -> ff/net_2  (handled by the
+    # generic index collapse: net.0 -> net_0, net.2 -> net_2)
+    # GroupNorm wrappers in this package sit inside GroupNorm32 -> GroupNorm_0
+    joined = "/".join(p)
+    if _NORM_HINTS.search(joined) and p[-1].startswith(("norm", "conv_norm")):
+        # UNet/VAE GroupNorms: norm1/norm2/norm/conv_norm_out are GroupNorm32
+        # wrappers whose inner module is GroupNorm_0.
+        if p[-1] not in ("norm_cross",):
+            p = p + ["GroupNorm_0"]
+    return tuple(p)
+
+
+def convert_unet_from_diffusers(state_dict: Dict) -> Dict:
+    """diffusers UNet2DConditionModel state dict (incl. teacher `.pt`,
+    reference `loading.py:54`) -> {'params': ...} for UNet2DCondition.
+
+    Skips torch-only buffers and the unused `conv_norm_out.num_batches...`;
+    LayerNorms in transformer blocks (norm1/2/3) are true LayerNorms in
+    both frameworks, but inside Transformer2D `norm` is a GroupNorm wrapper
+    — the rename hook adds the wrapper level only for GroupNorms.
+    """
+    def rename(path: Tuple[str, ...]):
+        p = list(_unet_rename(path))
+        joined = "/".join(p)
+        # transformer-block LayerNorms are plain flax LayerNorms (no wrapper)
+        if re.search(r"transformer_blocks_\d+/norm[123]/GroupNorm_0$", joined):
+            p = p[:-1]
+        return tuple(p)
+
+    return {"params": convert_torch_tree(state_dict, rename)}
+
+
+# ---------------------------------------------------------------------------
+# VAE (diffusers AutoencoderKL -> models.vae.AutoencoderKL)
+# ---------------------------------------------------------------------------
+def _vae_rename(path: Tuple[str, ...]):
+    p = list(path)
+    for i, name in enumerate(p):
+        if name == "to_out":
+            p[i] = "to_out_0"
+    joined = "/".join(p)
+    # VAE downsampler conv: diffusers 'downsamplers.0.conv' -> our single
+    # conv module named 'downsamplers_0'.
+    if joined.endswith("downsamplers_0/conv"):
+        p = p[:-1]
+    if p[-1] in ("norm1", "norm2", "conv_norm_out", "group_norm"):
+        p = p + ["GroupNorm_0"]
+    return tuple(p)
+
+
+def convert_vae_from_diffusers(state_dict: Dict) -> Dict:
+    return {"params": convert_torch_tree(state_dict, _vae_rename)}
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder (transformers CLIPTextModel -> models.clip.CLIPTextModel)
+# ---------------------------------------------------------------------------
+def convert_clip_text_from_transformers(state_dict: Dict) -> Dict:
+    """transformers CLIPTextModel(.WithProjection) state dict -> flax params.
+
+    HF layout: text_model.embeddings.token_embedding.weight,
+    text_model.embeddings.position_embedding.weight,
+    text_model.encoder.layers.N.{self_attn.{q,k,v,out}_proj, layer_norm1,
+    layer_norm2, mlp.fc1, mlp.fc2}, text_model.final_layer_norm,
+    [text_projection.weight].
+    """
+    tree: Dict = {}
+    for key, value in state_dict.items():
+        value = _np(value)
+        if "position_ids" in key:
+            continue
+        k = key.replace("text_model.", "")
+        if k == "embeddings.token_embedding.weight":
+            _set(tree, ("token_embedding", "embedding"), value)
+        elif k == "embeddings.position_embedding.weight":
+            tree["position_embedding"] = value
+        elif k == "text_projection.weight":
+            _set(tree, ("text_projection", "kernel"), _dense_kernel(value))
+        elif k.startswith("encoder.layers."):
+            parts = k.split(".")
+            layer = f"layers_{parts[2]}"
+            sub = parts[3:]
+            leaf = sub[-1]
+            if sub[0] == "self_attn":
+                path = (layer, "self_attn", sub[1])
+            elif sub[0] == "mlp":
+                path = (layer, sub[1])
+            else:  # layer_norm1/2
+                path = (layer, sub[0])
+            if leaf == "weight":
+                if value.ndim == 2:
+                    _set(tree, path + ("kernel",), _dense_kernel(value))
+                else:
+                    _set(tree, path + ("scale",), value)
+            else:
+                _set(tree, path + ("bias",), value)
+        elif k.startswith("final_layer_norm"):
+            leaf = "scale" if k.endswith("weight") else "bias"
+            _set(tree, ("final_layer_norm", leaf), value)
+    return {"params": tree}
+
+
+# ---------------------------------------------------------------------------
+# Kohya / peft LoRA (reference C2, `utils/loading.py:10-23`)
+# ---------------------------------------------------------------------------
+_KOHYA_RE = re.compile(r"^lora_unet_(.+?)\.(lora_down|lora_up|alpha)(?:\.weight)?$")
+
+
+def _kohya_module_to_flax(module: str) -> str:
+    """kohya flat module name (underscores) -> flax '/'-joined path.
+
+    kohya joins the diffusers path with underscores:
+      down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q
+    We re-split on known structural tokens.
+    """
+    tokens = [
+        "down_blocks", "up_blocks", "mid_block", "attentions",
+        "transformer_blocks", "resnets", "downsamplers", "upsamplers",
+        "attn1", "attn2", "to_q", "to_k", "to_v", "to_out_0",
+        "proj_in", "proj_out", "ff_net_0_proj", "ff_net_2",
+        "conv1", "conv2", "conv_shortcut", "conv", "time_emb_proj",
+        "time_embedding", "linear_1", "linear_2", "cond_proj",
+    ]
+    s = module
+    # normalise kohya's to_out_0 spelling variants
+    s = s.replace("to_out_0", "to_out_0").replace("ff_net", "ff_net")
+    out = []
+    while s:
+        matched = False
+        for tok in tokens:
+            if s == tok:
+                if tok == "ff_net_0_proj":
+                    out.extend(["ff", "net_0", "proj"])
+                elif tok == "ff_net_2":
+                    out.extend(["ff", "net_2"])
+                else:
+                    out.append(tok)
+                s = ""
+                matched = True
+                break
+            if s.startswith(tok + "_"):
+                rest = s[len(tok) + 1:]
+                if tok in ("down_blocks", "up_blocks", "attentions",
+                           "transformer_blocks", "resnets", "downsamplers",
+                           "upsamplers"):
+                    m = re.match(r"^(\d+)(?:_(.*))?$", rest)
+                    if m:
+                        out.append(f"{tok}_{m.group(1)}")
+                        s = m.group(2) or ""
+                        matched = True
+                        break
+                if tok == "ff_net_0_proj":
+                    out.extend(["ff", "net_0", "proj"])
+                    s = rest
+                    matched = True
+                    break
+                if tok == "ff_net_2":
+                    out.extend(["ff", "net_2"])
+                    s = rest
+                    matched = True
+                    break
+                out.append(tok)
+                s = rest
+                matched = True
+                break
+        if not matched:
+            # unknown token: consume one underscore-delimited word
+            head, _, s = s.partition("_")
+            out.append(head)
+    return "/".join(out)
+
+
+def convert_lora_from_kohya(state_dict: Dict) -> Tuple[Dict, Dict[str, float]]:
+    """kohya LoRA safetensors -> ({flax_path: {down, up}}, {flax_path: alpha}).
+
+    kohya stores `lora_down.weight` (r, in[, kh, kw]) and `lora_up.weight`
+    (out, r[, 1, 1]); our convention is down: (in, r) / (kh, kw, in, r) and
+    up: (r, out) so `merge_lora` densifies with plain matmuls
+    (models/lora.py). The per-module `alpha` (8 in the reference,
+    `loading.py:19-21`) is returned for scale = alpha / rank.
+    """
+    adapters: Dict[str, Dict[str, np.ndarray]] = {}
+    alphas: Dict[str, float] = {}
+    for key, value in state_dict.items():
+        m = _KOHYA_RE.match(key)
+        if not m:
+            continue
+        module, kind = m.group(1), m.group(2)
+        path = _kohya_module_to_flax(module) + "/kernel"
+        value = _np(value)
+        if kind == "alpha":
+            alphas[path] = float(value)
+            continue
+        entry = adapters.setdefault(path, {})
+        if kind == "lora_down":
+            if value.ndim == 4:  # (r, in, kh, kw) -> (kh, kw, in, r)
+                entry["down"] = np.transpose(value, (2, 3, 1, 0))
+            else:  # (r, in) -> (in, r)
+                entry["down"] = np.transpose(value, (1, 0))
+        else:  # lora_up
+            if value.ndim == 4:  # (out, r, 1, 1) -> (r, out)
+                entry["up"] = np.transpose(value[:, :, 0, 0], (1, 0))
+            else:  # (out, r) -> (r, out)
+                entry["up"] = np.transpose(value, (1, 0))
+    return adapters, alphas
+
+
+def export_lora_to_kohya(lora: Dict, alpha: float = 8.0) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_lora_from_kohya` — lets checkpoints trained here
+    be consumed by the reference's loaders (C2 round-trip)."""
+    out: Dict[str, np.ndarray] = {}
+    for path, ab in lora.items():
+        module = path[: -len("/kernel")] if path.endswith("/kernel") else path
+        flat = module.replace("/", "_")
+        down, up = _np(ab["down"]), _np(ab["up"])
+        if down.ndim == 4:  # (kh, kw, in, r) -> (r, in, kh, kw)
+            out[f"lora_unet_{flat}.lora_down.weight"] = np.transpose(down, (3, 2, 0, 1))
+            out[f"lora_unet_{flat}.lora_up.weight"] = np.transpose(up, (1, 0))[:, :, None, None]
+        else:
+            out[f"lora_unet_{flat}.lora_down.weight"] = np.transpose(down, (1, 0))
+            out[f"lora_unet_{flat}.lora_up.weight"] = np.transpose(up, (1, 0))
+        out[f"lora_unet_{flat}.alpha"] = np.asarray(alpha, np.float32)
+    return out
+
+
+def load_torch_file(path: str) -> Dict:
+    """Load a `.pt`/`.bin` (torch.load) or `.safetensors` file to a flat
+    name->numpy dict."""
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: _np(v) for k, v in sd.items()}

@@ -55,8 +55,14 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
+        channels = x.shape[-1]
+        # Real SD channel counts are all multiples of 32; tiny test configs
+        # aren't — fall back to the largest divisor <= num_groups.
+        groups = self.num_groups
+        while channels % groups != 0:
+            groups -= 1
         out = nn.GroupNorm(
-            num_groups=self.num_groups,
+            num_groups=groups,
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=jnp.float32,

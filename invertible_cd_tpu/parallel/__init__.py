@@ -1,0 +1,21 @@
+from .mesh import (
+    batch_sharding,
+    initialize_distributed,
+    make_mesh,
+    param_sharding,
+    process_local_batch_slice,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = [
+    "batch_sharding",
+    "initialize_distributed",
+    "make_mesh",
+    "param_sharding",
+    "process_local_batch_slice",
+    "replicated",
+    "shard_batch",
+    "shard_params",
+]

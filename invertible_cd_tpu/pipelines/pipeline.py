@@ -1,0 +1,413 @@
+"""InvertibleCD — the user-facing pipeline bundling UNet students, CLIP, VAE.
+
+Capability surface of the reference's L5 entry points (`utils/generation.py:12-66
+runner`, `utils/inversion.py:51-100 invert`, `running/sd1.5/edit.py` editing
+flow), re-architected so that every hot path is ONE jit-compiled XLA program:
+
+  generate():   CLIP encode -> 3/4 consistency hops -> VAE decode
+  invert():     VAE encode -> start-step noising -> 3/4 forward hops
+  edit():       invert() -> controller-hooked generate() on [src, tgt]
+  ddim_*():     50-step DDIM baselines (same program shape, scanned/unrolled)
+  null_text_inversion(): per-step optax Adam on the uncond embedding
+
+Jit programs are cached per (function, guidance config, controller spec,
+batch/resolution). Editing different prompt pairs reuses one compiled
+program because controller data (mappers, alphas, equalizers) are traced
+inputs — see edit/controllers.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.schedule import NoiseSchedule, make_schedule
+from ..diffusion.solver import SolverGrid, make_solver_grid
+from ..edit.controllers import (
+    ControllerArrays,
+    ControllerRuntime,
+    ControllerSpec,
+    empty_arrays,
+)
+from ..models import (
+    AutoencoderKL,
+    CLIPTextConfig,
+    CLIPTextModel,
+    UNet2DCondition,
+    UNetConfig,
+    VAEConfig,
+)
+from ..utils.tokenizer import default_tokenizer
+from . import sampler as S
+
+
+@dataclasses.dataclass
+class InvertibleCD:
+    """Three-model bundle: guidance-distilled teacher + reverse/forward
+    consistency students sharing one architecture (reference `load_models`,
+    `utils/loading.py:27-90` returns the same triple)."""
+
+    unet: UNet2DCondition
+    text_encoder: CLIPTextModel
+    vae: AutoencoderKL
+    params: Dict[str, dict]  # keys: teacher, reverse, forward, text, vae
+    tokenizer: object
+    schedule: NoiseSchedule
+    grid: SolverGrid
+    scaling_factor: float = 0.18215
+    latent_size: Tuple[int, int] = (64, 64)
+
+    def __post_init__(self):
+        self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+    @staticmethod
+    def sd15(
+        params: Optional[Dict[str, dict]] = None,
+        tokenizer=None,
+        grid: Optional[SolverGrid] = None,
+        dtype=jnp.bfloat16,
+        rng: Optional[jax.Array] = None,
+        unet_cfg: Optional[UNetConfig] = None,
+        clip_cfg: Optional[CLIPTextConfig] = None,
+        vae_cfg: Optional[VAEConfig] = None,
+        latent_size: Tuple[int, int] = (64, 64),
+    ) -> "InvertibleCD":
+        """SD1.5 bundle. Without `params`, zero-initialised weights are
+        created (for benchmarks / smoke tests; real use loads converted
+        checkpoints via models.convert)."""
+        unet_cfg = unet_cfg or UNetConfig.sd15()
+        clip_cfg = clip_cfg or CLIPTextConfig.vit_l()
+        vae_cfg = vae_cfg or VAEConfig.sd()
+        unet = UNet2DCondition(unet_cfg, dtype=dtype)
+        text = CLIPTextModel(clip_cfg, dtype=dtype)
+        vae = AutoencoderKL(vae_cfg, dtype=dtype)
+        tok = tokenizer or default_tokenizer()
+        if params is None:
+            params = init_zero_params(
+                unet, text, vae, unet_cfg, clip_cfg, latent_size
+            )
+        return InvertibleCD(
+            unet=unet,
+            text_encoder=text,
+            vae=vae,
+            params=params,
+            tokenizer=tok,
+            schedule=make_schedule(),
+            grid=grid or make_solver_grid(
+                reverse_timesteps=[259, 519, 779, 999],
+                forward_timesteps=[19, 259, 519, 779],
+            ),
+            scaling_factor=vae_cfg.scaling_factor,
+            latent_size=latent_size,
+        )
+
+    @property
+    def w_embed_dim(self) -> int:
+        """The UNet's guidance-embedding width (0 if not w-conditioned)."""
+        return self.unet.cfg.time_cond_proj_dim or 0
+
+    def default_guidance(self, **kw) -> "S.GuidanceConfig":
+        kw.setdefault("w_embed_dim", self.w_embed_dim)
+        return S.GuidanceConfig(**kw)
+
+    # ------------------------------------------------------------------
+    # Text encoding
+    # ------------------------------------------------------------------
+    def encode_prompt(self, prompts: Sequence[str]) -> Tuple[jax.Array, jax.Array]:
+        """(uncond_context, cond_context), each (B, 77, D) — the reference's
+        `init_prompt` (`utils/generation.py:286-303`)."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        tokens = jnp.asarray(self.tokenizer(list(prompts)))
+        uncond = jnp.asarray(self.tokenizer([""] * len(prompts)))
+        fn = self._get_jit("encode_text")
+        return fn(self.params["text"], uncond), fn(self.params["text"], tokens)
+
+    # ------------------------------------------------------------------
+    # Jit program factory
+    # ------------------------------------------------------------------
+    def _get_jit(self, name: str, *static):
+        key = (name,) + static
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        fn = getattr(self, "_build_" + name)(*static)
+        self._jit_cache[key] = fn
+        return fn
+
+    def _build_encode_text(self):
+        def encode(params, tokens):
+            return self.text_encoder.apply(params, tokens)["last_hidden_state"]
+        return jax.jit(encode)
+
+    def _noise_model(self, params):
+        def nm(latent, t, context, w_emb, hook):
+            b = latent.shape[0]
+            return self.unet.apply(
+                params, latent, jnp.full((b,), t, jnp.int32), context,
+                w_cond=w_emb, attn_hook=hook,
+            )
+        return nm
+
+    def _decode_latents(self, params, latents):
+        img = self.vae.apply(
+            params, latents / self.scaling_factor, method=AutoencoderKL.decode
+        )
+        return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
+    def _encode_image(self, params, pixels):
+        mean = self.vae.apply(params, pixels, method=AutoencoderKL.encode_mean)
+        return mean.astype(jnp.float32) * self.scaling_factor
+
+    def _build_cons_generate(self, g: S.GuidanceConfig, spec: Optional[ControllerSpec]):
+        def run(unet_params, vae_params, latent, ctx_u, ctx_c, arrays):
+            rt = ControllerRuntime(spec, arrays) if spec is not None else None
+            latent = S.cons_generation(
+                self._noise_model(unet_params), latent, ctx_u, ctx_c,
+                self.grid, self.schedule, g,
+                hook_factory=rt.hook_factory if rt else None,
+                step_callback=rt.step_callback if rt else None,
+            )
+            return self._decode_latents(vae_params, latent), latent
+        return jax.jit(run)
+
+    def _build_cons_invert(self, g: S.GuidanceConfig):
+        def run(unet_params, vae_params, pixels, noise, ctx_u, ctx_c):
+            latent = self._encode_image(vae_params, pixels)
+            inv = S.cons_inversion(
+                self._noise_model(unet_params), latent, noise, ctx_u, ctx_c,
+                self.grid, self.schedule, g,
+            )
+            return inv, latent
+        return jax.jit(run)
+
+    def _build_ddim_generate(self, g: S.GuidanceConfig, spec, has_nti: bool):
+        def run(unet_params, vae_params, latent, ctx_u, ctx_c, arrays, nti_u):
+            rt = ControllerRuntime(spec, arrays) if spec is not None else None
+            latent = S.ddim_loop(
+                self._noise_model(unet_params), latent, ctx_u, ctx_c,
+                self.grid, self.schedule, g, is_forward=False,
+                per_step_uncond=nti_u if has_nti else None,
+                hook_factory=rt.hook_factory if rt else None,
+                step_callback=rt.step_callback if rt else None,
+            )
+            return self._decode_latents(vae_params, latent), latent
+        return jax.jit(run)
+
+    def _build_ddim_invert(self, g: S.GuidanceConfig):
+        def run(unet_params, vae_params, pixels, ctx_u, ctx_c):
+            latent = self._encode_image(vae_params, pixels)
+            traj = S.ddim_loop(
+                self._noise_model(unet_params), latent, ctx_u, ctx_c,
+                self.grid, self.schedule, g, is_forward=True, return_all=True,
+            )
+            return traj, latent
+        return jax.jit(run)
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+    def init_latent(
+        self, key: jax.Array, batch: int, dtype=jnp.float32
+    ) -> jax.Array:
+        """One shared latent expanded across the batch (the reference shares
+        the seed latent between prompts, `generation.py:536-543`)."""
+        h, w = self.latent_size
+        z = jax.random.normal(key, (1, h, w, 4), dtype)
+        return jnp.broadcast_to(z, (batch, h, w, 4))
+
+    def generate(
+        self,
+        prompts: Sequence[str],
+        key: Optional[jax.Array] = None,
+        latent: Optional[jax.Array] = None,
+        guidance: Optional[S.GuidanceConfig] = None,
+        controller: Optional[Tuple[ControllerSpec, ControllerArrays]] = None,
+        model: str = "reverse",
+    ):
+        """Few-step consistency generation (reference `runner` with
+        `is_cons_forward=True`, `utils/generation.py:12-66`).
+
+        Returns (images float32 [0,1] NHWC, final latents).
+        """
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        g = guidance or self.default_guidance()
+        ctx_u, ctx_c = self.encode_prompt(prompts)
+        if latent is None:
+            latent = self.init_latent((key if key is not None else jax.random.PRNGKey(0)), len(prompts))
+        spec, arrays = controller if controller else (None, None)
+        if spec is None:
+            arrays = empty_arrays(self.grid.num_reverse_steps, len(prompts))
+        fn = self._get_jit("cons_generate", g, spec)
+        return fn(
+            self.params[model], self.params["vae"], latent, ctx_u, ctx_c, arrays
+        )
+
+    def invert(
+        self,
+        image: np.ndarray,
+        prompt: str = "",
+        key: Optional[jax.Array] = None,
+        noise: Optional[jax.Array] = None,
+        guidance: Optional[S.GuidanceConfig] = None,
+    ):
+        """Forward-CD inversion of a real image (reference `invert` cons path,
+        `utils/inversion.py:51-100`). `image`: (H, W, 3) or (B, H, W, 3)
+        uint8/float in [0, 255]. Returns (noise latent, clean latent)."""
+        pixels = to_model_pixels(image)
+        g = guidance or S.GuidanceConfig(guidance_scale=0.0, w_embed_dim=0)
+        # w_embed_dim=0 with guidance 0 -> single uncond-free pass; the
+        # forward student is trained with w == 0 (reference train.py:227).
+        ctx_u, ctx_c = self.encode_prompt([prompt] * pixels.shape[0])
+        if noise is None:
+            h, w = self.latent_size
+            noise = jax.random.normal(
+                (key if key is not None else jax.random.PRNGKey(0)), (pixels.shape[0], h, w, 4)
+            )
+        fn = self._get_jit("cons_invert", g)
+        return fn(
+            self.params["forward"], self.params["vae"], pixels, noise, ctx_u, ctx_c
+        )
+
+    def edit(
+        self,
+        image: np.ndarray,
+        source_prompt: str,
+        target_prompt: str,
+        controller: Tuple[ControllerSpec, ControllerArrays],
+        key: Optional[jax.Array] = None,
+        guidance: Optional[S.GuidanceConfig] = None,
+        invert_guidance: Optional[S.GuidanceConfig] = None,
+    ):
+        """Invert-then-edit (reference `running/sd1.5/edit.py:353-458`):
+        forward-CD encodes the image under the source prompt, then reverse-CD
+        decodes a [source, target] pair with the p2p controller mixing
+        attention; row 1 is the edited image.
+
+        Returns (images (2, H, W, 3) float [0,1], edited latents)."""
+        inv_latent, _ = self.invert(image, source_prompt, key=key, guidance=invert_guidance)
+        latent = jnp.broadcast_to(inv_latent[:1], (2,) + inv_latent.shape[1:])
+        g = guidance or self.default_guidance(
+            guidance_scale=19.0, dynamic_guidance=True, tau1=0.8, tau2=0.8,
+            edit_pair=True,
+        )
+        return self.generate(
+            [source_prompt, target_prompt], latent=latent, guidance=g,
+            controller=controller,
+        )
+
+    def ddim_generate(
+        self,
+        prompts: Sequence[str],
+        key: Optional[jax.Array] = None,
+        latent: Optional[jax.Array] = None,
+        guidance: Optional[S.GuidanceConfig] = None,
+        controller: Optional[Tuple[ControllerSpec, ControllerArrays]] = None,
+        nti_uncond: Optional[jax.Array] = None,
+        model: str = "teacher",
+    ):
+        """50-step DDIM baseline generation (reference `runner` default path)."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        g = guidance or S.GuidanceConfig(guidance_scale=7.5, w_embed_dim=0)
+        ctx_u, ctx_c = self.encode_prompt(prompts)
+        if latent is None:
+            latent = self.init_latent((key if key is not None else jax.random.PRNGKey(0)), len(prompts))
+        spec, arrays = controller if controller else (None, None)
+        if spec is None:
+            arrays = empty_arrays(self.grid.n_steps, len(prompts))
+        fn = self._get_jit("ddim_generate", g, spec, nti_uncond is not None)
+        if nti_uncond is None:
+            nti_uncond = jnp.zeros((0,))
+        return fn(
+            self.params[model], self.params["vae"], latent, ctx_u, ctx_c,
+            arrays, nti_uncond,
+        )
+
+    def ddim_invert(
+        self,
+        image: np.ndarray,
+        prompt: str = "",
+        guidance: Optional[S.GuidanceConfig] = None,
+    ):
+        """50-step DDIM inversion; returns the full latent trajectory
+        (needed as NTI targets — reference `ddim_inversion`,
+        `utils/generation.py:349-371`)."""
+        pixels = to_model_pixels(image)
+        g = guidance or S.GuidanceConfig(guidance_scale=1.0, w_embed_dim=0)
+        ctx_u, ctx_c = self.encode_prompt([prompt] * pixels.shape[0])
+        fn = self._get_jit("ddim_invert", g)
+        return fn(self.params["teacher"], self.params["vae"], pixels, ctx_u, ctx_c)
+
+    def decode(self, latents: jax.Array) -> np.ndarray:
+        fn = self._get_jit("decode")
+        return np.asarray(fn(self.params["vae"], latents))
+
+    def _build_decode(self):
+        return jax.jit(lambda p, z: self._decode_latents(p, z))
+
+
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+def to_model_pixels(image: np.ndarray) -> jax.Array:
+    """uint8/float [0,255] (B,H,W,3) or (H,W,3) -> float32 [-1,1] NHWC."""
+    arr = np.asarray(image)
+    if arr.ndim == 3:
+        arr = arr[None]
+    return jnp.asarray(arr, jnp.float32) / 127.5 - 1.0
+
+
+def to_uint8(images: jax.Array) -> np.ndarray:
+    """float [0,1] -> uint8 numpy (host)."""
+    return np.asarray(jnp.round(jnp.clip(images, 0, 1) * 255).astype(jnp.uint8))
+
+
+def init_zero_params(unet, text, vae, unet_cfg, clip_cfg, latent_size):
+    """Zero-cost parameter trees (shape-correct, zero-filled) for smoke tests
+    and benchmarks when no checkpoint is available."""
+    h, w = latent_size
+    pixel_factor = 2 ** (len(vae.cfg.block_out_channels) - 1)
+    def zeros_like_tree(shapes):
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    sample = jnp.zeros((1, h, w, 4))
+    ctx = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
+    wv = (
+        jnp.zeros((1, unet_cfg.time_cond_proj_dim))
+        if unet_cfg.time_cond_proj_dim
+        else None
+    )
+    added = None
+    if unet_cfg.addition_embed_dim is not None:
+        added = {
+            "text_embeds": jnp.zeros((1, unet_cfg.addition_embed_dim - 6 * unet_cfg.addition_time_embed_dim)),
+            "time_ids": jnp.zeros((1, 6)),
+        }
+    u_shapes = jax.eval_shape(
+        lambda: unet.init(jax.random.PRNGKey(0), sample, jnp.zeros((1,), jnp.int32), ctx, wv, added)
+    )
+    t_shapes = jax.eval_shape(
+        lambda: text.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))
+    )
+    v_shapes = jax.eval_shape(
+        lambda: vae.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, pixel_factor * h, pixel_factor * w, 3)),
+        )
+    )
+    u = zeros_like_tree(u_shapes)
+    return {
+        "teacher": u,
+        "reverse": u,
+        "forward": u,
+        "text": zeros_like_tree(t_shapes),
+        "vae": zeros_like_tree(v_shapes),
+    }

@@ -1,0 +1,268 @@
+"""Consistency / DDIM sampling loops — the inference hot path, TPU-first.
+
+Functional re-design of the reference `Generator` (reference
+`utils/generation.py:181-521`). Key departures from the torch design, all
+motivated by the XLA compilation model:
+
+* Timesteps, boundaries and guidance schedules are **static** (host numpy):
+  the 3-4 step consistency loops unroll into one jit program with zero host
+  sync; the 50-step DDIM loops compile to a `lax.scan`.
+* The reference doubles the batch for CFG even when the model is
+  w-conditioned and then throws the uncond half away
+  (`generation.py:221,246-253`). Here w-conditioned models run **only the
+  cond rows** — output-identical, half the FLOPs on the headline path.
+* Dynamic guidance (`linear_schedule_old` on `t.item()`,
+  `generation.py:229-231`) becomes a host-side fold over the static grid:
+  per-step w values are baked into the compiled program as constants.
+* The p2p controller is a trace-time closure (see `models/attention.py`);
+  `step_callback` (LocalBlend) slots between the unrolled steps.
+
+The `NoiseModel` callable abstracts the denoiser:
+    noise_model(latent, t, context, w_embedding, hook) -> epsilon
+where `latent` is (B, H, W, C) NHWC, `t` a static python int, `context`
+(B, S, D) text states, `w_embedding` Optional (B, w_dim).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.guidance import guidance_scale_embedding
+from ..diffusion.schedule import NoiseSchedule, add_noise
+from ..diffusion.solver import (
+    SolverGrid,
+    ddim_next_step,
+    ddim_prev_step,
+    predicted_origin,
+)
+
+NoiseModel = Callable  # (latent, t, context, w_embedding, hook) -> eps
+AttnHookFactory = Callable  # (step_index) -> Optional[hook]
+StepCallback = Callable  # (latent, step_index) -> latent
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceConfig:
+    """Static guidance setup for one sampling run.
+
+    Mirrors the knobs of the reference `get_noise_pred`
+    (`utils/generation.py:211-253`): `w_embed_dim > 0` selects the
+    w-conditioned path (guidance inside the model), otherwise explicit CFG.
+    `edit_pair=True` reproduces the reference's `len(batch)==4` special case
+    (`generation.py:232-235`): only the *last* row receives w, the
+    reconstruction row runs unguided.
+    """
+
+    guidance_scale: float = 19.0
+    w_embed_dim: int = 512
+    dynamic_guidance: bool = False
+    tau1: float = 1.0
+    tau2: float = 1.0
+    edit_pair: bool = False
+
+    def w_at(self, t: int) -> float:
+        """Host-side `linear_schedule_old` (reference `generation.py:74-82`)."""
+        if not self.dynamic_guidance:
+            return float(self.guidance_scale)
+        tn = t / 1000.0
+        if tn <= self.tau1:
+            gamma = 1.0
+        elif tn >= self.tau2:
+            gamma = 0.0
+        else:
+            gamma = (self.tau2 - tn) / (self.tau2 - self.tau1)
+        return gamma * float(self.guidance_scale)
+
+    def cfg_scale_at(self, t: int) -> float:
+        """Host-side `linear_schedule` (reference `generation.py:85-93`)."""
+        if not self.dynamic_guidance:
+            return float(self.guidance_scale)
+        tn = t / 1000.0
+        if tn <= self.tau1:
+            return float(self.guidance_scale)
+        if tn >= self.tau2:
+            return 1.0
+        return (self.tau2 - tn) / (self.tau2 - self.tau1) * (
+            float(self.guidance_scale) - 1.0
+        ) + 1.0
+
+
+def w_embedding_for(
+    g: GuidanceConfig, t: int, batch: int, dtype=jnp.float32
+) -> Optional[jax.Array]:
+    """The per-step guidance embedding, baked as a compile-time constant."""
+    if g.w_embed_dim <= 0:
+        return None
+    w = g.w_at(t)
+    if g.edit_pair:
+        ws = np.zeros((batch,), np.float32)
+        ws[-1] = w
+    else:
+        ws = np.full((batch,), w, np.float32)
+    return guidance_scale_embedding(jnp.asarray(ws), g.w_embed_dim, dtype=dtype)
+
+
+def predict_noise(
+    noise_model: NoiseModel,
+    latent: jax.Array,
+    t: int,
+    context_uncond: jax.Array,
+    context_cond: jax.Array,
+    g: GuidanceConfig,
+    hook=None,
+) -> jax.Array:
+    """One guided epsilon prediction at static timestep `t`.
+
+    w-conditioned models run cond rows only (uncond output is discarded by
+    the reference anyway, `generation.py:246-253`); CFG models run the
+    doubled batch with the hook applied to the cond half only (matching the
+    controller's `attn[h//2:]` convention, reference `utils/p2p.py:98-102`).
+    """
+    b = latent.shape[0]
+    if g.w_embed_dim > 0:
+        w_emb = w_embedding_for(g, t, b, latent.dtype)
+        return noise_model(latent, t, context_cond, w_emb, hook)
+
+    doubled = jnp.concatenate([latent, latent], axis=0)
+    ctx = jnp.concatenate([context_uncond, context_cond], axis=0)
+    cond_half_hook = None
+    if hook is not None:
+        def cond_half_hook(probs, meta):  # noqa: E306
+            keep, edit = jnp.split(probs, 2, axis=0)
+            return jnp.concatenate([keep, hook(edit, meta)], axis=0)
+    eps = noise_model(doubled, t, ctx, None, cond_half_hook)
+    eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+    scale = g.cfg_scale_at(t)
+    if g.guidance_scale > 1:
+        return eps_uncond + scale * (eps_text - eps_uncond)
+    return eps_text
+
+
+def cons_generation(
+    noise_model: NoiseModel,
+    latent: jax.Array,
+    context_uncond: jax.Array,
+    context_cond: jax.Array,
+    grid: SolverGrid,
+    schedule: NoiseSchedule,
+    g: GuidanceConfig,
+    hook_factory: Optional[AttnHookFactory] = None,
+    step_callback: Optional[StepCallback] = None,
+) -> jax.Array:
+    """Multi-boundary reverse CD: noise -> image in 3-4 hops
+    (reference `Generator.cons_generation`, `utils/generation.py:373-412`).
+
+    The (t, s) pairs come from `grid` (static), so this unrolls into a
+    single fused XLA program — 4 UNet calls, no host round-trips.
+    """
+    for i, (t, s) in enumerate(
+        zip(grid.reverse_timesteps.tolist(), grid.reverse_boundaries.tolist())
+    ):
+        hook = hook_factory(i) if hook_factory is not None else None
+        eps = predict_noise(
+            noise_model, latent, t, context_uncond, context_cond, g, hook
+        )
+        latent = predicted_origin(
+            eps,
+            jnp.full((latent.shape[0],), t, jnp.int32),
+            jnp.full((latent.shape[0],), s, jnp.int32),
+            latent,
+            schedule.sqrt_alphas_cumprod,
+            schedule.sqrt_one_minus_alphas_cumprod,
+        )
+        if step_callback is not None:
+            latent = step_callback(latent, i)
+    return latent
+
+
+def cons_inversion(
+    noise_model: NoiseModel,
+    latent: jax.Array,
+    noise: jax.Array,
+    context_uncond: jax.Array,
+    context_cond: jax.Array,
+    grid: SolverGrid,
+    schedule: NoiseSchedule,
+    g: GuidanceConfig,
+) -> jax.Array:
+    """Forward CD: clean latent -> noise in 3-4 hops
+    (reference `Generator.cons_inversion`, `utils/generation.py:414-449`).
+
+    The caller supplies `noise` for the start-timestep perturbation (the
+    reference draws it from a seeded CPU generator, `generation.py:425-427`;
+    we accept any array so recorded reference noise can be used for parity
+    tests). Guidance for inversion is typically 0 and never dynamic.
+    """
+    latent = add_noise(
+        schedule, latent, noise, jnp.full((latent.shape[0],), grid.start_timestep)
+    )
+    for t, s in zip(
+        grid.forward_timesteps.tolist(), grid.forward_boundaries.tolist()
+    ):
+        eps = predict_noise(
+            noise_model, latent, t, context_uncond, context_cond, g, hook=None
+        )
+        latent = predicted_origin(
+            eps,
+            jnp.full((latent.shape[0],), t, jnp.int32),
+            jnp.full((latent.shape[0],), s, jnp.int32),
+            latent,
+            schedule.sqrt_alphas_cumprod,
+            schedule.sqrt_one_minus_alphas_cumprod,
+        )
+    return latent
+
+
+def ddim_loop(
+    noise_model: NoiseModel,
+    latent: jax.Array,
+    context_uncond: jax.Array,
+    context_cond: jax.Array,
+    grid: SolverGrid,
+    schedule: NoiseSchedule,
+    g: GuidanceConfig,
+    is_forward: bool,
+    per_step_uncond: Optional[jax.Array] = None,
+    hook_factory: Optional[AttnHookFactory] = None,
+    step_callback: Optional[StepCallback] = None,
+    return_all: bool = False,
+):
+    """The 50-step DDIM baseline loop in either direction
+    (reference `Generator.ddim_loop`, `utils/generation.py:305-343`).
+
+    is_forward=True inverts (t ascending), False generates (t descending).
+    `per_step_uncond` carries Null-Text-Inversion embeddings — one uncond
+    context per step (reference `generation.py:320-321`).
+
+    The loop is unrolled (timesteps and per-step guidance are static); XLA
+    CSEs the shared UNet body, and with hooks/NTI absent the common case
+    still compiles to one program. `return_all` stacks the latent
+    trajectory (needed to record targets for NTI).
+    """
+    timesteps = grid.ddim_timesteps[::-1] if not is_forward else grid.ddim_timesteps
+    # Reference indexes scheduler.timesteps (descending) from the back for
+    # forward loops (`generation.py:323-326`), i.e. ascending ddim grid.
+    trajectory: List[jax.Array] = [latent]
+    for i, t in enumerate(timesteps.tolist()):
+        cu = context_uncond if per_step_uncond is None else per_step_uncond[i]
+        hook = hook_factory(i) if hook_factory is not None else None
+        eps = predict_noise(noise_model, latent, t, cu, context_cond, g, hook)
+        if is_forward:
+            latent = ddim_next_step(
+                eps, jnp.asarray(t), latent, schedule, 1000 // grid.n_steps
+            )
+        else:
+            latent = ddim_prev_step(
+                eps, jnp.asarray(t), latent, schedule, 1000 // grid.n_steps
+            )
+        if step_callback is not None:
+            latent = step_callback(latent, i)
+        if return_all:
+            trajectory.append(latent)
+    if return_all:
+        return jnp.stack(trajectory, axis=0)
+    return latent

@@ -1,0 +1,264 @@
+"""Dual-student LoRA trainer: one pjit step computing all four iCD losses.
+
+Replaces the reference trainer loop's compute core
+(`training/train_icd_sd15_lora.py:469-1135`): two accelerate/DDP-wrapped
+peft students with separate optimizers stepping sequentially per loss
+(`:905-986`) become ONE compiled XLA program that
+  * merges each student's LoRA into the (frozen, replicated) base weights,
+  * evaluates reverse/forward CD + both preserve losses,
+  * takes gradients w.r.t. the two LoRA pytrees only,
+  * applies two optax AdamW updates (grad-clip 1.0 inside the chain),
+with batch sharded over the mesh's "dp" axis; XLA inserts the gradient
+all-reduce over ICI (the reference's NCCL all-reduce inside
+`accelerator.backward`, SURVEY.md §2).
+
+Divergence (documented): the reference steps optimizers sequentially inside
+one "global step" so later losses see earlier updates; here both students
+update from the same pre-step state — order-independent, and it lets XLA
+overlap all UNet calls. The training dynamics difference is one
+intra-step staleness of the *other* student's frozen weights.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion.schedule import NoiseSchedule
+from ..diffusion.solver import TrainSolver
+from ..models.lora import init_lora, merge_lora
+from . import losses as L
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Static training hyperparameters (reference
+    `training/sh_scripts/run_sd15_lora.sh` + argparse defaults)."""
+
+    learning_rate: float = 8e-6
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_weight_decay: float = 0.0
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    lora_rank: int = 64
+    lora_alpha: float = 8.0
+    # Guidance-scale sampling (reference train_icd_sd15_lora.py:887-894).
+    w_min: float = 3.0
+    w_max: float = 15.0
+    discrete_w: Optional[Tuple[float, ...]] = (0.0, 7.0, 11.0, 15.0, 19.0)
+    use_reverse_cd: bool = True
+    use_forward_cd: bool = True
+    use_forward_preserve: bool = True
+    use_reverse_preserve: bool = True
+    loss: L.LossConfig = dataclasses.field(default_factory=L.LossConfig)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ICDTrainState:
+    """Everything that changes during training (an orbax-checkpointable
+    pytree). Base/teacher params live outside (frozen)."""
+
+    step: jax.Array
+    lora_reverse: Dict
+    lora_forward: Dict
+    opt_reverse: optax.OptState
+    opt_forward: optax.OptState
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            cfg.learning_rate,
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon,
+            weight_decay=cfg.adam_weight_decay,
+        ),
+    )
+
+
+def init_train_state(
+    rng: jax.Array, base_params: Dict, cfg: TrainConfig
+) -> ICDTrainState:
+    """Fresh LoRA adapters (identity at init) + optimizer states for both
+    students (reference peft-wraps both UNets with r=64,
+    `train_icd_sd15_lora.py:617-636`)."""
+    kr, kf = jax.random.split(rng)
+    inner = base_params["params"] if "params" in base_params else base_params
+    lora_r = init_lora(kr, inner, rank=cfg.lora_rank)
+    lora_f = init_lora(kf, inner, rank=cfg.lora_rank)
+    opt = make_optimizer(cfg)
+    return ICDTrainState(
+        step=jnp.zeros((), jnp.int32),
+        lora_reverse=lora_r,
+        lora_forward=lora_f,
+        opt_reverse=opt.init(lora_r),
+        opt_forward=opt.init(lora_f),
+    )
+
+
+def sample_w(rng: jax.Array, batch: int, cfg: TrainConfig) -> jax.Array:
+    """Guidance scale per sample: uniform over the discrete set when given,
+    else U[w_min, w_max] (reference train_icd_sd15_lora.py:887-894)."""
+    if cfg.discrete_w is not None:
+        idx = jax.random.randint(rng, (batch,), 0, len(cfg.discrete_w))
+        return jnp.asarray(cfg.discrete_w, jnp.float32)[idx]
+    return jax.random.uniform(
+        rng, (batch,), minval=cfg.w_min, maxval=cfg.w_max
+    )
+
+
+def make_train_step(
+    unet,
+    base_params: Dict,
+    teacher_params: Dict,
+    solver: TrainSolver,
+    schedule: NoiseSchedule,
+    cfg: TrainConfig,
+    mesh=None,
+):
+    """Build the compiled train step.
+
+    Returned signature:
+      step_fn(state, base_params, teacher_params, batch, rng)
+        -> (new_state, metrics)
+    batch: dict with
+      latents: (B, h, w, 4) clean VAE latents (already scaled),
+      context: (B, 77, D) prompt embeddings,
+      uncond_context: (B, 77, D) (used only when not embed_guidance),
+      noise: (B, h, w, 4) or None -> drawn from rng.
+    Base/teacher params are explicit args so they can live sharded on the
+    mesh without being baked into the program as constants.
+    """
+    opt = make_optimizer(cfg)
+
+    def apply_with(params):
+        def apply(p, x, t, w_emb, context):
+            return unet.apply(p, x, t, context, w_cond=w_emb)
+        return apply
+
+    def step_fn(state: ICDTrainState, base, teacher, batch, rng):
+        latents = batch["latents"]
+        context = batch["context"]
+        uncond_context = batch.get("uncond_context", context)
+        b = latents.shape[0]
+        k_noise, k_w, k_r, k_f, k_fp, k_rp = jax.random.split(rng, 6)
+        noise = batch.get("noise")
+        if noise is None:
+            noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+        w = sample_w(k_w, b, cfg)
+
+        inner_base = base["params"] if "params" in base else base
+        wrap = (lambda t: {"params": t}) if "params" in base else (lambda t: t)
+
+        def student_apply_factory(lora):
+            merged = wrap(
+                merge_lora(inner_base, lora, alpha=cfg.lora_alpha, rank=cfg.lora_rank)
+            )
+            def apply(x, t, w_emb, ctx=context):
+                return unet.apply(merged, x, t, ctx, w_cond=w_emb)
+            return apply
+
+        def teacher_apply(p, x, t, w_emb, ctx=context):
+            return unet.apply(p, x, t, ctx, w_cond=w_emb)
+
+        def uncond_apply(p, x, t, w_emb):
+            return unet.apply(p, x, t, uncond_context, w_cond=w_emb)
+
+        # ---- reverse student objective -------------------------------
+        def reverse_objective(lora_r, lora_f_frozen):
+            s_apply = student_apply_factory(lora_r)
+            f_apply = student_apply_factory(jax.lax.stop_gradient(lora_f_frozen))
+            total = jnp.zeros((), jnp.float32)
+            logs = {}
+            if cfg.use_reverse_cd:
+                loss, lg = L.reverse_cd_loss(
+                    lambda p, x, t, we: s_apply(x, t, we), None,
+                    lambda p, x, t, we: teacher_apply(teacher, x, t, we), None,
+                    latents, noise, w, k_r, solver, schedule, cfg.loss,
+                    uncond_apply=lambda p, x, t, we: uncond_apply(teacher, x, t, we),
+                )
+                total += loss
+                logs.update(lg)
+            if cfg.use_reverse_preserve:
+                loss, lg = L.reverse_preserve_loss(
+                    lambda p, x, t, we: f_apply(x, t, we), None,
+                    lambda p, x, t, we: s_apply(x, t, we), None,
+                    latents, noise, k_rp, solver, schedule, cfg.loss,
+                )
+                total += cfg.loss.reverse_preserve_coef * loss
+                logs.update(lg)
+            return total, logs
+
+        # ---- forward student objective -------------------------------
+        def forward_objective(lora_f, lora_r_frozen):
+            s_apply = student_apply_factory(lora_f)
+            r_apply = student_apply_factory(jax.lax.stop_gradient(lora_r_frozen))
+            total = jnp.zeros((), jnp.float32)
+            logs = {}
+            if cfg.use_forward_cd:
+                loss, lg = L.forward_cd_loss(
+                    lambda p, x, t, we: s_apply(x, t, we), None,
+                    lambda p, x, t, we: teacher_apply(teacher, x, t, we), None,
+                    latents, noise, w, k_f, solver, schedule, cfg.loss,
+                    uncond_apply=lambda p, x, t, we: uncond_apply(teacher, x, t, we),
+                )
+                total += loss
+                logs.update(lg)
+            if cfg.use_forward_preserve:
+                loss, lg = L.forward_preserve_loss(
+                    lambda p, x, t, we: s_apply(x, t, we), None,
+                    lambda p, x, t, we: r_apply(x, t, we), None,
+                    latents, noise, k_fp, solver, schedule, cfg.loss,
+                )
+                total += cfg.loss.forward_preserve_coef * loss
+                logs.update(lg)
+            return total, logs
+
+        metrics = {}
+        new_lora_r, new_opt_r = state.lora_reverse, state.opt_reverse
+        if cfg.use_reverse_cd or cfg.use_reverse_preserve:
+            (loss_r, logs_r), grads_r = jax.value_and_grad(
+                reverse_objective, has_aux=True
+            )(state.lora_reverse, state.lora_forward)
+            updates, new_opt_r = opt.update(
+                grads_r, state.opt_reverse, state.lora_reverse
+            )
+            new_lora_r = optax.apply_updates(state.lora_reverse, updates)
+            metrics.update(logs_r)
+            metrics["reverse_total_loss"] = loss_r
+            metrics["reverse_grad_norm"] = optax.global_norm(grads_r)
+
+        new_lora_f, new_opt_f = state.lora_forward, state.opt_forward
+        if cfg.use_forward_cd or cfg.use_forward_preserve:
+            (loss_f, logs_f), grads_f = jax.value_and_grad(
+                forward_objective, has_aux=True
+            )(state.lora_forward, state.lora_reverse)
+            updates, new_opt_f = opt.update(
+                grads_f, state.opt_forward, state.lora_forward
+            )
+            new_lora_f = optax.apply_updates(state.lora_forward, updates)
+            metrics.update(logs_f)
+            metrics["forward_total_loss"] = loss_f
+            metrics["forward_grad_norm"] = optax.global_norm(grads_f)
+
+        new_state = ICDTrainState(
+            step=state.step + 1,
+            lora_reverse=new_lora_r,
+            lora_forward=new_lora_f,
+            opt_reverse=new_opt_r,
+            opt_forward=new_opt_f,
+        )
+        return new_state, metrics
+
+    # Sharding is carried by the *arguments* (computation follows data):
+    # callers place the batch with parallel.shard_batch (leading axis over
+    # "dp") and params with parallel.shard_params / replicated. XLA then
+    # inserts the gradient all-reduce over ICI automatically.
+    return jax.jit(step_fn, donate_argnums=(0,))

@@ -1,0 +1,3 @@
+from .tokenizer import ClipTokenizer, HashTokenizer, default_tokenizer
+
+__all__ = ["ClipTokenizer", "HashTokenizer", "default_tokenizer"]

@@ -1,10 +1,12 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-Must set the env vars before jax initialises its backends, hence module scope.
+The container's sitecustomize registers a TPU ('axon') backend and pins
+`JAX_PLATFORMS=axon` at interpreter start, so env vars alone don't work —
+we must override the config after importing jax (backends init lazily, so
+this is safe as long as no array op ran yet).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +15,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

@@ -1,0 +1,112 @@
+"""Converter parity tests.
+
+The strongest check available in this container: build a *random-weight*
+HF transformers CLIPTextModel, convert its state dict with our converter,
+and require our Flax CLIP to reproduce its outputs to fp32 tolerance.
+(diffusers isn't installed here, so UNet/VAE converters are covered by
+structural tests + the kohya round-trip.)
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from invertible_cd_tpu.models import CLIPTextConfig, CLIPTextModel
+from invertible_cd_tpu.models.convert import (
+    _kohya_module_to_flax,
+    convert_clip_text_from_transformers,
+    convert_lora_from_kohya,
+    export_lora_to_kohya,
+)
+
+
+class TestClipParity:
+    @pytest.fixture(scope="class")
+    def hf_pair(self):
+        import torch
+        from transformers import CLIPTextConfig as HFConfig
+        from transformers import CLIPTextModel as HFModel
+
+        hf_cfg = HFConfig(
+            vocab_size=1000, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2,
+            max_position_embeddings=77, eos_token_id=999, bos_token_id=998,
+        )
+        torch.manual_seed(0)
+        hf = HFModel(hf_cfg).eval()
+        cfg = CLIPTextConfig(
+            vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, eos_token_id=999,
+        )
+        model = CLIPTextModel(cfg)
+        params = convert_clip_text_from_transformers(hf.state_dict())
+        return hf, model, params
+
+    def test_last_hidden_state_matches(self, hf_pair):
+        import torch
+
+        hf, model, params = hf_pair
+        ids = np.random.default_rng(0).integers(0, 997, (2, 77))
+        ids[:, 0] = 998
+        ids[:, 10] = 999  # eos
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).last_hidden_state.numpy()
+        out = model.apply(params, jnp.asarray(ids))["last_hidden_state"]
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+
+    def test_pooled_output_matches(self, hf_pair):
+        import torch
+
+        hf, model, params = hf_pair
+        ids = np.random.default_rng(1).integers(0, 997, (1, 77))
+        ids[:, 0] = 998
+        ids[:, 5] = 999
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids)).pooler_output.numpy()
+        out = model.apply(params, jnp.asarray(ids))["pooled_output"]
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+
+
+class TestKohyaRoundTrip:
+    def test_module_name_mapping(self):
+        assert (
+            _kohya_module_to_flax(
+                "down_blocks_0_attentions_1_transformer_blocks_0_attn1_to_q"
+            )
+            == "down_blocks_0/attentions_1/transformer_blocks_0/attn1/to_q"
+        )
+        assert (
+            _kohya_module_to_flax(
+                "up_blocks_1_attentions_0_transformer_blocks_0_ff_net_0_proj"
+            )
+            == "up_blocks_1/attentions_0/transformer_blocks_0/ff/net_0/proj"
+        )
+        assert (
+            _kohya_module_to_flax("mid_block_resnets_0_time_emb_proj")
+            == "mid_block/resnets_0/time_emb_proj"
+        )
+        assert (
+            _kohya_module_to_flax("down_blocks_1_downsamplers_0_conv")
+            == "down_blocks_1/downsamplers_0/conv"
+        )
+
+    def test_dense_and_conv_roundtrip(self):
+        rng = np.random.default_rng(0)
+        lora = {
+            "down_blocks_0/attentions_0/transformer_blocks_0/attn1/to_q/kernel": {
+                "down": rng.normal(size=(32, 4)).astype(np.float32),
+                "up": rng.normal(size=(4, 32)).astype(np.float32),
+            },
+            "down_blocks_0/resnets_0/conv1/kernel": {
+                "down": rng.normal(size=(3, 3, 16, 4)).astype(np.float32),
+                "up": rng.normal(size=(4, 16)).astype(np.float32),
+            },
+        }
+        kohya = export_lora_to_kohya(lora, alpha=8.0)
+        back, alphas = convert_lora_from_kohya(kohya)
+        assert set(back) == set(lora)
+        for path in lora:
+            np.testing.assert_allclose(back[path]["down"], lora[path]["down"])
+            np.testing.assert_allclose(back[path]["up"], lora[path]["up"])
+            assert alphas[path] == 8.0

@@ -1,0 +1,133 @@
+"""End-to-end pipeline tests on the tiny bundle (CPU, fast configs)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from invertible_cd_tpu.edit.controllers import make_controller
+from invertible_cd_tpu.pipelines import GuidanceConfig
+from invertible_cd_tpu.pipelines.pipeline import to_uint8
+from invertible_cd_tpu.testing import tiny_bundle
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return tiny_bundle()
+
+
+class TestGenerate:
+    def test_cons_generation_shapes(self, pipe):
+        imgs, lat = pipe.generate(["a cat"], key=jax.random.PRNGKey(1))
+        assert imgs.shape == (1, 32, 32, 3)
+        assert lat.shape == (1, 16, 16, 4)
+        assert np.isfinite(np.asarray(imgs)).all()
+        u8 = to_uint8(imgs)
+        assert u8.dtype == np.uint8
+
+    def test_seed_determinism(self, pipe):
+        a, _ = pipe.generate(["a cat"], key=jax.random.PRNGKey(7))
+        b, _ = pipe.generate(["a cat"], key=jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c, _ = pipe.generate(["a cat"], key=jax.random.PRNGKey(8))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    def test_prompt_changes_output(self, pipe):
+        a, _ = pipe.generate(["a cat"], key=jax.random.PRNGKey(7))
+        b, _ = pipe.generate(["a dog"], key=jax.random.PRNGKey(7))
+        assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_cfg_mode(self, pipe):
+        g = GuidanceConfig(guidance_scale=7.5, w_embed_dim=0)
+        imgs, _ = pipe.generate(["a cat"], key=jax.random.PRNGKey(1), guidance=g)
+        assert imgs.shape == (1, 32, 32, 3)
+
+    def test_dynamic_guidance_w_embed(self, pipe):
+        g = pipe.default_guidance(
+            guidance_scale=19.0, dynamic_guidance=True, tau1=0.8, tau2=0.8
+        )
+        imgs, _ = pipe.generate(["a cat"], key=jax.random.PRNGKey(1), guidance=g)
+        assert np.isfinite(np.asarray(imgs)).all()
+
+
+class TestInvert:
+    def test_invert_shapes(self, pipe):
+        img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+        inv, clean = pipe.invert(img, "a cat")
+        assert inv.shape == (1, 16, 16, 4)
+        assert clean.shape == (1, 16, 16, 4)
+        assert np.isfinite(np.asarray(inv)).all()
+
+    def test_ddim_invert_trajectory(self, pipe):
+        img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+        traj, clean = pipe.ddim_invert(img, "a cat")
+        assert traj.shape == (51, 1, 16, 16, 4)
+
+    def test_roundtrip_with_shared_models(self, pipe):
+        """Forward then reverse with the same (teacher-init) weights should
+        stay finite and produce a plausible reconstruction scale."""
+        img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+        inv, _ = pipe.invert(img, "x")
+        imgs, _ = pipe.generate(["x"], latent=inv)
+        assert np.isfinite(np.asarray(imgs)).all()
+
+
+class TestDDIMGenerate:
+    def test_ddim_generation(self, pipe):
+        imgs, lat = pipe.ddim_generate(["a cat"], key=jax.random.PRNGKey(3))
+        assert imgs.shape == (1, 32, 32, 3)
+        assert np.isfinite(np.asarray(imgs)).all()
+
+
+class TestEdit:
+    def test_edit_replace(self, pipe):
+        ctrl = make_controller(
+            ["a cat", "a dog"], pipe.tokenizer, num_steps=4,
+            is_replace_controller=True, cross_replace_steps=0.8,
+            self_replace_steps=0.4,
+        )
+        img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+        imgs, lat = pipe.edit(img, "a cat", "a dog", ctrl)
+        assert imgs.shape == (2, 32, 32, 3)
+        assert np.isfinite(np.asarray(imgs)).all()
+        # edited row differs from reconstruction row
+        assert not np.array_equal(np.asarray(imgs[0]), np.asarray(imgs[1]))
+
+    def test_edit_refine_with_blend(self, pipe):
+        ctrl = make_controller(
+            ["a cat", "a red cat"], pipe.tokenizer, num_steps=4,
+            is_replace_controller=False, cross_replace_steps=0.8,
+            self_replace_steps=0.4, blend_words=[["cat"], ["cat"]],
+        )
+        img = np.random.default_rng(1).integers(0, 255, (32, 32, 3), np.uint8)
+        imgs, _ = pipe.edit(img, "a cat", "a red cat", ctrl)
+        assert imgs.shape == (2, 32, 32, 3)
+        assert np.isfinite(np.asarray(imgs)).all()
+
+    def test_edit_reweight_chain(self, pipe):
+        ctrl = make_controller(
+            ["a cat", "a dog"], pipe.tokenizer, num_steps=4,
+            is_replace_controller=True, cross_replace_steps=0.8,
+            self_replace_steps=0.4,
+            equalizer_params={"words": ("dog",), "values": (2.0,)},
+        )
+        img = np.random.default_rng(2).integers(0, 255, (32, 32, 3), np.uint8)
+        imgs, _ = pipe.edit(img, "a cat", "a dog", ctrl)
+        assert np.isfinite(np.asarray(imgs)).all()
+
+    def test_controller_reuses_compiled_program(self, pipe):
+        """Different prompt pairs with the same spec must hit the jit cache."""
+        ctrl1 = make_controller(
+            ["a cat", "a dog"], pipe.tokenizer, num_steps=4,
+            is_replace_controller=True, cross_replace_steps=0.8,
+            self_replace_steps=0.4,
+        )
+        img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+        pipe.edit(img, "a cat", "a dog", ctrl1)
+        n_compiled = len(pipe._jit_cache)
+        ctrl2 = make_controller(
+            ["a boat", "a car"], pipe.tokenizer, num_steps=4,
+            is_replace_controller=True, cross_replace_steps=0.8,
+            self_replace_steps=0.4,
+        )
+        pipe.edit(img, "a boat", "a car", ctrl2)
+        assert len(pipe._jit_cache) == n_compiled
