@@ -1,0 +1,72 @@
+"""Benchmark CSV loaders (reference C4, `utils/loading.py:151-175`).
+
+Two schemas (reference `running/benchmarks/instructions/*.csv`):
+  generation: columns (file_name, caption)           -> prompts + names
+  editing:    columns (file_name, old_caption,
+               edited_caption, blended_words)        -> edit instructions
+`blended_words` appears either as "('a', 'b')" tuples (COCO editing) or as
+space-separated pairs "a b" (PieBench).
+"""
+from __future__ import annotations
+
+import ast
+import csv
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class EditInstruction:
+    file_name: str
+    source_prompt: str
+    target_prompt: str
+    blend_words: Tuple[str, ...]  # (source_word, target_word) when present
+
+
+def _parse_blend(raw: str) -> Tuple[str, ...]:
+    raw = (raw or "").strip()
+    if not raw:
+        return ()
+    if raw.startswith("("):
+        try:
+            val = ast.literal_eval(raw)
+            if isinstance(val, (tuple, list)):
+                return tuple(str(v) for v in val)
+        except (ValueError, SyntaxError):
+            pass
+    return tuple(raw.split())
+
+
+def load_benchmark(
+    path: str, kind: Optional[str] = None, max_count: Optional[int] = None
+):
+    """Load a benchmark CSV.
+
+    kind: "generation" | "editing" | None (sniffed from the header).
+    Returns list[str] prompts (generation) or list[EditInstruction]
+    (editing), truncated to max_count (the reference's --max_cnt).
+    """
+    with open(path, newline="", encoding="utf-8") as f:
+        reader = csv.DictReader(f)
+        rows = list(reader)
+    if not rows:
+        return []
+    header = rows[0].keys()
+    if kind is None:
+        kind = "editing" if "edited_caption" in header else "generation"
+
+    if kind == "generation":
+        out: List[str] = [r["caption"] for r in rows if r.get("caption")]
+    else:
+        out = [
+            EditInstruction(
+                file_name=r["file_name"],
+                source_prompt=r["old_caption"],
+                target_prompt=r["edited_caption"],
+                blend_words=_parse_blend(r.get("blended_words", "")),
+            )
+            for r in rows
+        ]
+    if max_count is not None:
+        out = out[:max_count]
+    return out

@@ -130,6 +130,12 @@ class InvertibleCD:
         fn = self._get_jit("encode_text")
         return fn(self.params["text"], uncond), fn(self.params["text"], tokens)
 
+    def _encode_all(self, prompts: Sequence[str]):
+        """(ctx_uncond, ctx_cond, added_cond) — overridden by the SDXL
+        pipeline to supply pooled-text + time-id added conditioning."""
+        ctx_u, ctx_c = self.encode_prompt(prompts)
+        return ctx_u, ctx_c, {}
+
     # ------------------------------------------------------------------
     # Jit program factory
     # ------------------------------------------------------------------
@@ -146,12 +152,21 @@ class InvertibleCD:
             return self.text_encoder.apply(params, tokens)["last_hidden_state"]
         return jax.jit(encode)
 
-    def _noise_model(self, params):
+    def _noise_model(self, params, added=None):
         def nm(latent, t, context, w_emb, hook):
             b = latent.shape[0]
+            added_b = None
+            if added:
+                # Broadcast SDXL added conditioning to the (possibly
+                # CFG-doubled) batch.
+                rep = b // added["text_embeds"].shape[0]
+                added_b = {
+                    k: jnp.concatenate([v] * rep, axis=0) if rep > 1 else v
+                    for k, v in added.items()
+                }
             return self.unet.apply(
                 params, latent, jnp.full((b,), t, jnp.int32), context,
-                w_cond=w_emb, attn_hook=hook,
+                w_cond=w_emb, added_cond=added_b, attn_hook=hook,
             )
         return nm
 
@@ -166,10 +181,10 @@ class InvertibleCD:
         return mean.astype(jnp.float32) * self.scaling_factor
 
     def _build_cons_generate(self, g: S.GuidanceConfig, spec: Optional[ControllerSpec]):
-        def run(unet_params, vae_params, latent, ctx_u, ctx_c, arrays):
+        def run(unet_params, vae_params, latent, ctx_u, ctx_c, arrays, added):
             rt = ControllerRuntime(spec, arrays) if spec is not None else None
             latent = S.cons_generation(
-                self._noise_model(unet_params), latent, ctx_u, ctx_c,
+                self._noise_model(unet_params, added), latent, ctx_u, ctx_c,
                 self.grid, self.schedule, g,
                 hook_factory=rt.hook_factory if rt else None,
                 step_callback=rt.step_callback if rt else None,
@@ -178,20 +193,20 @@ class InvertibleCD:
         return jax.jit(run)
 
     def _build_cons_invert(self, g: S.GuidanceConfig):
-        def run(unet_params, vae_params, pixels, noise, ctx_u, ctx_c):
+        def run(unet_params, vae_params, pixels, noise, ctx_u, ctx_c, added):
             latent = self._encode_image(vae_params, pixels)
             inv = S.cons_inversion(
-                self._noise_model(unet_params), latent, noise, ctx_u, ctx_c,
+                self._noise_model(unet_params, added), latent, noise, ctx_u, ctx_c,
                 self.grid, self.schedule, g,
             )
             return inv, latent
         return jax.jit(run)
 
     def _build_ddim_generate(self, g: S.GuidanceConfig, spec, has_nti: bool):
-        def run(unet_params, vae_params, latent, ctx_u, ctx_c, arrays, nti_u):
+        def run(unet_params, vae_params, latent, ctx_u, ctx_c, arrays, nti_u, added):
             rt = ControllerRuntime(spec, arrays) if spec is not None else None
             latent = S.ddim_loop(
-                self._noise_model(unet_params), latent, ctx_u, ctx_c,
+                self._noise_model(unet_params, added), latent, ctx_u, ctx_c,
                 self.grid, self.schedule, g, is_forward=False,
                 per_step_uncond=nti_u if has_nti else None,
                 hook_factory=rt.hook_factory if rt else None,
@@ -201,10 +216,10 @@ class InvertibleCD:
         return jax.jit(run)
 
     def _build_ddim_invert(self, g: S.GuidanceConfig):
-        def run(unet_params, vae_params, pixels, ctx_u, ctx_c):
+        def run(unet_params, vae_params, pixels, ctx_u, ctx_c, added):
             latent = self._encode_image(vae_params, pixels)
             traj = S.ddim_loop(
-                self._noise_model(unet_params), latent, ctx_u, ctx_c,
+                self._noise_model(unet_params, added), latent, ctx_u, ctx_c,
                 self.grid, self.schedule, g, is_forward=True, return_all=True,
             )
             return traj, latent
@@ -239,7 +254,7 @@ class InvertibleCD:
         if isinstance(prompts, str):
             prompts = [prompts]
         g = guidance or self.default_guidance()
-        ctx_u, ctx_c = self.encode_prompt(prompts)
+        ctx_u, ctx_c, added = self._encode_all(prompts)
         if latent is None:
             latent = self.init_latent((key if key is not None else jax.random.PRNGKey(0)), len(prompts))
         spec, arrays = controller if controller else (None, None)
@@ -247,7 +262,8 @@ class InvertibleCD:
             arrays = empty_arrays(self.grid.num_reverse_steps, len(prompts))
         fn = self._get_jit("cons_generate", g, spec)
         return fn(
-            self.params[model], self.params["vae"], latent, ctx_u, ctx_c, arrays
+            self.params[model], self.params["vae"], latent, ctx_u, ctx_c, arrays,
+            added,
         )
 
     def invert(
@@ -265,7 +281,7 @@ class InvertibleCD:
         g = guidance or S.GuidanceConfig(guidance_scale=0.0, w_embed_dim=0)
         # w_embed_dim=0 with guidance 0 -> single uncond-free pass; the
         # forward student is trained with w == 0 (reference train.py:227).
-        ctx_u, ctx_c = self.encode_prompt([prompt] * pixels.shape[0])
+        ctx_u, ctx_c, added = self._encode_all([prompt] * pixels.shape[0])
         if noise is None:
             h, w = self.latent_size
             noise = jax.random.normal(
@@ -273,7 +289,8 @@ class InvertibleCD:
             )
         fn = self._get_jit("cons_invert", g)
         return fn(
-            self.params["forward"], self.params["vae"], pixels, noise, ctx_u, ctx_c
+            self.params["forward"], self.params["vae"], pixels, noise, ctx_u, ctx_c,
+            added,
         )
 
     def edit(
@@ -317,7 +334,7 @@ class InvertibleCD:
         if isinstance(prompts, str):
             prompts = [prompts]
         g = guidance or S.GuidanceConfig(guidance_scale=7.5, w_embed_dim=0)
-        ctx_u, ctx_c = self.encode_prompt(prompts)
+        ctx_u, ctx_c, added = self._encode_all(prompts)
         if latent is None:
             latent = self.init_latent((key if key is not None else jax.random.PRNGKey(0)), len(prompts))
         spec, arrays = controller if controller else (None, None)
@@ -328,7 +345,7 @@ class InvertibleCD:
             nti_uncond = jnp.zeros((0,))
         return fn(
             self.params[model], self.params["vae"], latent, ctx_u, ctx_c,
-            arrays, nti_uncond,
+            arrays, nti_uncond, added,
         )
 
     def ddim_invert(
@@ -342,9 +359,11 @@ class InvertibleCD:
         `utils/generation.py:349-371`)."""
         pixels = to_model_pixels(image)
         g = guidance or S.GuidanceConfig(guidance_scale=1.0, w_embed_dim=0)
-        ctx_u, ctx_c = self.encode_prompt([prompt] * pixels.shape[0])
+        ctx_u, ctx_c, added = self._encode_all([prompt] * pixels.shape[0])
         fn = self._get_jit("ddim_invert", g)
-        return fn(self.params["teacher"], self.params["vae"], pixels, ctx_u, ctx_c)
+        return fn(
+            self.params["teacher"], self.params["vae"], pixels, ctx_u, ctx_c, added
+        )
 
     def decode(self, latents: jax.Array) -> np.ndarray:
         fn = self._get_jit("decode")

@@ -25,6 +25,66 @@ from .pipelines.pipeline import InvertibleCD
 from .utils.tokenizer import HashTokenizer
 
 
+def tiny_bundle_xl(
+    seed: int = 0,
+    latent_size: Tuple[int, int] = (16, 16),
+    dtype=jnp.float32,
+):
+    """Miniature SDXL pipeline: dual tiny encoders, added-cond UNet."""
+    from .pipelines.sdxl import InvertibleCDXL
+
+    clip_cfg = CLIPTextConfig.tiny()
+    clip2_cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, projection_dim=16,
+    )
+    unet_cfg = UNetConfig(
+        block_out_channels=(32, 64),
+        cross_attn_blocks=(False, True),
+        layers_per_block=1,
+        num_heads=(2, 2),
+        transformer_depth=(1, 2),
+        cross_attention_dim=64,
+        use_linear_projection=True,
+        time_cond_proj_dim=8,
+        addition_embed_dim=16 + 6 * 8,
+        addition_time_embed_dim=8,
+    )
+    vae_cfg = VAEConfig.tiny()
+    unet = UNet2DCondition(unet_cfg, dtype=dtype)
+    text = CLIPTextModel(clip_cfg, dtype=dtype)
+    text2 = CLIPTextModel(clip2_cfg, dtype=dtype)
+    vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
+    tok = HashTokenizer(vocab_size=clip_cfg.vocab_size)
+
+    h, w = latent_size
+    k = jax.random.PRNGKey(seed)
+    k_u, k_t, k_t2, k_v = jax.random.split(k, 4)
+    sample = jnp.zeros((1, h, w, 4))
+    ctx = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
+    wv = jnp.zeros((1, unet_cfg.time_cond_proj_dim))
+    added = {"text_embeds": jnp.zeros((1, 16)), "time_ids": jnp.zeros((1, 6))}
+    u_params = unet.init(k_u, sample, jnp.zeros((1,), jnp.int32), ctx, wv, added)
+    params = {
+        "teacher": u_params,
+        "reverse": u_params,
+        "forward": u_params,
+        "text": text.init(k_t, jnp.zeros((1, 77), jnp.int32)),
+        "text_2": text2.init(k_t2, jnp.zeros((1, 77), jnp.int32)),
+        "vae": vae.init(k_v, jnp.zeros((1, 2 * h, 2 * w, 3))),
+    }
+    return InvertibleCDXL(
+        unet=unet, text_encoder=text, vae=vae, params=params, tokenizer=tok,
+        schedule=make_schedule(),
+        grid=make_solver_grid(
+            reverse_timesteps=[259, 519, 779, 999],
+            forward_timesteps=[19, 259, 519, 779],
+        ),
+        scaling_factor=vae_cfg.scaling_factor, latent_size=latent_size,
+        text_encoder_2=text2, tokenizer_2=tok, default_resolution=32,
+    )
+
+
 def tiny_bundle(
     seed: int = 0,
     latent_size: Tuple[int, int] = (16, 16),

@@ -252,6 +252,7 @@ class HashTokenizer:
 
 
 def default_tokenizer(**kw):
-    """ClipTokenizer if vocab artifacts are discoverable, else HashTokenizer."""
+    """ClipTokenizer if vocab artifacts are discoverable, else HashTokenizer
+    (which ignores ClipTokenizer-only kwargs like pad_token_id)."""
     tok = ClipTokenizer.find(**kw)
     return tok if tok is not None else HashTokenizer()

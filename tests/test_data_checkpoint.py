@@ -1,0 +1,135 @@
+"""Data pipeline, benchmark loader, and checkpoint/resume tests."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from invertible_cd_tpu.data import (
+    ImageCaptionDataset,
+    InfiniteSampler,
+    load_benchmark,
+    make_train_iterator,
+)
+from invertible_cd_tpu.training import TrainConfig, init_train_state
+from invertible_cd_tpu.training.checkpoint import (
+    export_inference,
+    latest_step,
+    load_inference_lora,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+@pytest.fixture()
+def image_dir(tmp_path):
+    from PIL import Image
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        arr = rng.integers(0, 255, (40 + i, 48, 3), np.uint8)
+        Image.fromarray(arr).save(root / f"img_{i}.jpg")
+    with open(root / "train.csv", "w") as f:
+        f.write("file_name,caption\n")
+        for i in range(6):
+            f.write(f"img_{i}.jpg,a photo number {i}\n")
+    return str(root)
+
+
+class TestDataset:
+    def test_dataset_items(self, image_dir):
+        ds = ImageCaptionDataset(image_dir, "train", resolution=32)
+        assert len(ds) == 6
+        img, cap = ds[0]
+        assert img.shape == (32, 32, 3)
+        assert img.min() >= -1.0 and img.max() <= 1.0
+        assert cap == "a photo number 0"
+
+    def test_infinite_sampler_rank_disjoint(self):
+        s0 = iter(InfiniteSampler(10, rank=0, num_replicas=2, seed=1))
+        s1 = iter(InfiniteSampler(10, rank=1, num_replicas=2, seed=1))
+        a = [next(s0) for _ in range(20)]
+        b = [next(s1) for _ in range(20)]
+        assert all(0 <= i < 10 for i in a + b)
+        # deterministic across re-instantiation
+        s0b = iter(InfiniteSampler(10, rank=0, num_replicas=2, seed=1))
+        assert a == [next(s0b) for _ in range(20)]
+
+    def test_train_iterator_batches(self, image_dir):
+        ds = ImageCaptionDataset(image_dir, "train", resolution=32)
+        it = make_train_iterator(ds, batch_size=4, num_workers=2)
+        imgs, caps = next(it)
+        assert imgs.shape == (4, 32, 32, 3)
+        assert len(caps) == 4
+
+
+class TestBenchmarks:
+    def test_editing_schema(self, tmp_path):
+        p = tmp_path / "edit.csv"
+        p.write_text(
+            ",file_name,old_caption,edited_caption,blended_words\n"
+            "0,a.jpg,a cat,a dog,\"('cat', 'dog')\"\n"
+            "1,b.jpg,a round cake,a square cake,cake cake\n"
+        )
+        rows = load_benchmark(str(p))
+        assert rows[0].blend_words == ("cat", "dog")
+        assert rows[1].blend_words == ("cake", "cake")
+        assert rows[1].target_prompt == "a square cake"
+
+    def test_generation_schema(self, tmp_path):
+        p = tmp_path / "gen.csv"
+        p.write_text("file_name,caption\na.jpg,hello world\nb.jpg,bye\n")
+        prompts = load_benchmark(str(p), max_count=1)
+        assert prompts == ["hello world"]
+
+
+class TestCheckpoint:
+    def _tiny_state(self):
+        base = {
+            "params": {
+                "to_q": {"kernel": jnp.zeros((8, 8))},
+                "conv1": {"kernel": jnp.zeros((3, 3, 4, 8))},
+            }
+        }
+        cfg = TrainConfig(lora_rank=2)
+        return base, cfg, init_train_state(jax.random.PRNGKey(0), base, cfg)
+
+    def test_save_restore_roundtrip(self, tmp_path):
+        base, cfg, state = self._tiny_state()
+        d = str(tmp_path / "ckpt")
+        step = save_checkpoint(d, state, keep=2)
+        assert latest_step(d) == step
+        template = init_train_state(jax.random.PRNGKey(9), base, cfg)
+        restored = restore_checkpoint(d, template)
+        np.testing.assert_allclose(
+            np.asarray(restored.lora_reverse["to_q/kernel"]["down"]),
+            np.asarray(state.lora_reverse["to_q/kernel"]["down"]),
+        )
+        assert int(restored.step) == int(state.step)
+
+    def test_rotation(self, tmp_path):
+        base, cfg, state = self._tiny_state()
+        d = str(tmp_path / "ckpt")
+        import dataclasses
+        for s in (1, 2, 3):
+            st = dataclasses.replace(state, step=jnp.asarray(s))
+            save_checkpoint(d, st, keep=2)
+        steps = sorted(
+            int(n) for n in os.listdir(d) if n.isdigit()
+        )
+        assert steps == [2, 3]
+
+    def test_kohya_export_reload(self, tmp_path):
+        base, cfg, state = self._tiny_state()
+        paths = export_inference(str(tmp_path), state, lora_alpha=8.0)
+        adapters, alphas = load_inference_lora(paths["unet_lora"])
+        assert set(adapters) == {"to_q/kernel", "conv1/kernel"}
+        np.testing.assert_allclose(
+            adapters["to_q/kernel"]["down"],
+            np.asarray(state.lora_reverse["to_q/kernel"]["down"]),
+            rtol=1e-6,
+        )
+        assert alphas["to_q/kernel"] == 8.0
