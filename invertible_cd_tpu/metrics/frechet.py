@@ -36,9 +36,14 @@ def _sqrtm_psd(mat: np.ndarray) -> np.ndarray:
 
 def frechet_distance(
     mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray,
-    eps: float = 1e-6,
+    eps: float = 0.0,
 ) -> float:
-    """||mu1-mu2||^2 + tr(S1 + S2 - 2 sqrt(S1 S2))."""
+    """||mu1-mu2||^2 + tr(S1 + S2 - 2 sqrt(S1 S2)).
+
+    eps defaults to 0: the eigh-based square root clips negative
+    eigenvalues, so the degenerate-covariance regulariser the reference
+    needs for scipy sqrtm (`fid_score_in_memory.py:168-175`) is not
+    required; a nonzero eps biases the self-distance by ~2*D*eps."""
     mu1 = np.atleast_1d(np.asarray(mu1, np.float64))
     mu2 = np.atleast_1d(np.asarray(mu2, np.float64))
     sigma1 = np.atleast_2d(np.asarray(sigma1, np.float64))

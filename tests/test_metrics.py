@@ -1,0 +1,132 @@
+"""Metric suite tests: pure math exactness + architecture smoke tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from invertible_cd_tpu.metrics import (
+    FIDScorer,
+    InceptionV3Features,
+    batch_psnr,
+    compute_statistics,
+    frechet_distance,
+    make_random_evaluators,
+    psnr,
+)
+
+
+class TestFrechet:
+    def test_identical_distributions_zero(self):
+        rng = np.random.default_rng(0)
+        f = rng.normal(size=(500, 16))
+        mu, sigma = compute_statistics(f)
+        assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+    def test_mean_shift(self):
+        rng = np.random.default_rng(0)
+        f1 = rng.normal(size=(2000, 8))
+        f2 = rng.normal(size=(2000, 8)) + 2.0
+        mu1, s1 = compute_statistics(f1)
+        mu2, s2 = compute_statistics(f2)
+        d = frechet_distance(mu1, s1, mu2, s2)
+        # ||mu_diff||^2 = 8 * 4 = 32 dominates
+        assert 28 < d < 36
+
+    def test_against_scipy_sqrtm_formula(self):
+        # cross-check the eigh-based trace-sqrt against a direct PSD sqrtm
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(50, 5))
+        b = rng.normal(size=(60, 5)) * 1.5 + 0.3
+        mu1, s1 = compute_statistics(a)
+        mu2, s2 = compute_statistics(b)
+        d = frechet_distance(mu1, s1, mu2, s2, eps=0.0)
+
+        def sqrtm_psd(m):
+            vals, vecs = np.linalg.eigh(m)
+            return (vecs * np.sqrt(np.clip(vals, 0, None))) @ vecs.T
+
+        s1h = sqrtm_psd(s1)
+        covmean = sqrtm_psd(s1h @ s2 @ s1h)
+        ref = (mu1 - mu2) @ (mu1 - mu2) + np.trace(s1) + np.trace(s2) - 2 * np.trace(covmean)
+        np.testing.assert_allclose(d, ref, rtol=1e-8)
+
+
+class TestPSNR:
+    def test_identical_infinite(self):
+        a = np.zeros((4, 4, 3))
+        assert psnr(a, a) == float("inf")
+
+    def test_known_value(self):
+        a = np.zeros((10, 10))
+        b = np.full((10, 10), 16.0)
+        # mse=256 -> psnr = 20log10(255) - 10log10(256) = 24.0484
+        assert abs(psnr(a, b) - 24.0484) < 1e-3
+
+    def test_batch(self):
+        a = np.zeros((2, 4, 4, 3))
+        b = np.stack([np.full((4, 4, 3), 16.0), np.full((4, 4, 3), 32.0)])
+        p = batch_psnr(a, b)
+        assert p[0] > p[1]
+
+
+class TestInception:
+    def test_feature_shape(self):
+        mod = InceptionV3Features(resize_input=False)
+        params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+        feats = mod.apply(params, jnp.zeros((2, 299, 299, 3)))
+        assert feats.shape == (2, 2048)
+        assert np.isfinite(np.asarray(feats)).all()
+
+
+class TestFIDScorer:
+    @pytest.fixture(scope="class")
+    def scorer(self):
+        return FIDScorer.random_init()
+
+    def test_same_images_zero_fid(self, scorer):
+        rng = np.random.default_rng(0)
+        imgs = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(8)]
+        d = scorer.fid(imgs, reference_images=imgs)
+        assert abs(d) < 1e-3
+
+    def test_stats_roundtrip(self, scorer, tmp_path):
+        rng = np.random.default_rng(1)
+        imgs = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(6)]
+        p = str(tmp_path / "stats.npz")
+        scorer.save_statistics(imgs, p)
+        d = scorer.fid(imgs, reference_stats_path=p)
+        assert abs(d) < 1e-3
+
+
+class TestEvaluators:
+    @pytest.fixture(scope="class")
+    def ev(self):
+        return make_random_evaluators()
+
+    def test_calc_all_keys(self, ev):
+        rng = np.random.default_rng(0)
+        a = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+        b = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+        out = ev.calc_all(a, b, ["a cat", "x"], ["a dog", "y"])
+        assert set(out) == {
+            "preservation_clip_image_image", "preservation_dinov2",
+            "editing_clip_image_text", "editing_image_reward",
+        }
+        assert out["editing_image_reward"] is None  # gated
+        assert -1.0 <= out["preservation_clip_image_image"] <= 1.0
+
+    def test_identical_images_similarity_one(self, ev):
+        rng = np.random.default_rng(1)
+        a = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+        assert abs(ev.clip_image_image(a, a) - 1.0) < 1e-4
+        assert abs(ev.dino_image_image(a, a) - 1.0) < 1e-4
+
+    def test_calc_inversion(self, ev):
+        rng = np.random.default_rng(2)
+        a = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+        out = ev.calc_inversion(a, a)
+        # batch_psnr clamps mse at 1e-12, so identical images give a large
+        # finite value rather than inf
+        assert out["psnr"] > 100
+        assert abs(out["lpips"]) < 1e-5
