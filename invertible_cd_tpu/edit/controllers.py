@@ -379,6 +379,34 @@ class ControllerRuntime:
         return x_t
 
 
+def aggregate_attention(
+    store: Dict[str, List[jax.Array]],
+    res: int,
+    from_where: Sequence[str],
+    is_cross: bool,
+    select: int = 0,
+    num_steps: int = 1,
+) -> jax.Array:
+    """Average stored attention maps at one resolution into a (res, res, Sk)
+    map — the analysis helper behind the reference's attention
+    visualisations (AttentionStore.get_average_attention,
+    `utils/p2p.py:164-167`, as used by prompt-to-prompt's
+    `aggregate_attention`).
+
+    `store` is ControllerRuntime.store (store_all=True); entries are
+    (B, H, Sq, Sk) per layer per step, accumulated in call order.
+    """
+    kind = "cross" if is_cross else "self"
+    maps = []
+    for place in from_where:
+        for probs in store.get(f"{place}_{kind}", []):
+            if probs.shape[2] == res * res:
+                b, h, _, sk = probs.shape
+                maps.append(probs[select].reshape(h, res, res, sk))
+    out = jnp.concatenate(maps, axis=0).mean(axis=0)
+    return out / num_steps
+
+
 def store_controller(num_steps: int = 50, batch_size: int = 1) -> ControllerSpec:
     """Spec for a pure AttentionStore run (visualisation / analysis)."""
     return ControllerSpec(

@@ -56,7 +56,28 @@ AttnHook = Callable[[jax.Array, AttnMeta], jax.Array]
 
 
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Fused softmax attention; q/k/v are (B, S, H, D)."""
+    """Fused softmax attention; q/k/v are (B, S, H, D).
+
+    Backend selection (measured on v5e, see bench_kernels.py): the Pallas
+    flash kernel wins on long-sequence MXU-aligned heads (SDXL's 4096
+    tokens x D=64: ~2.6x); XLA's fused attention is at parity or better on
+    the short/ragged-head shapes. ICD_TPU_PALLAS_ATTENTION=1 forces the
+    kernel everywhere, =0 disables it, unset -> auto heuristic.
+    """
+    import os
+
+    mode = os.environ.get("ICD_TPU_PALLAS_ATTENTION", "auto")
+    on_tpu = jax.default_backend() not in ("cpu",)
+    d = q.shape[-1]
+    sq = q.shape[1]
+    use = (
+        mode == "1"
+        or (mode == "auto" and on_tpu and d % 64 == 0 and sq >= 1024)
+    )
+    if use:
+        from ..ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, interpret=not on_tpu)
     return jax.nn.dot_product_attention(q, k, v)
 
 

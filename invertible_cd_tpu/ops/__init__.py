@@ -1,0 +1,3 @@
+from .flash_attention import flash_attention, flash_attention_bhsd
+
+__all__ = ['flash_attention', 'flash_attention_bhsd']
