@@ -22,6 +22,19 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# --platform must take effect before jax initialises its backends.
+if "--platform" in sys.argv:
+    _plat = sys.argv[sys.argv.index("--platform") + 1]
+    if _plat == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8",
+        )
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
 import jax
 import numpy as np
 
@@ -61,6 +74,7 @@ def parse_args(argv=None):
     p.add_argument("--image_root", default=None)
     p.add_argument("--max_cnt", type=int, default=None)
     p.add_argument("--out", required=True)
+    p.add_argument("--platform", default=None, help="cpu|tpu backend override (cpu needed for smoke tests in tunneled-TPU containers)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--guidance_scale", type=float, default=19.0)
     p.add_argument("--tau", type=float, default=0.8)

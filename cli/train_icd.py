@@ -21,6 +21,19 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# --platform must take effect before jax initialises its backends.
+if "--platform" in sys.argv:
+    _plat = sys.argv[sys.argv.index("--platform") + 1]
+    if _plat == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8",
+        )
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,6 +71,7 @@ def parse_args(argv=None):
     p.add_argument("--validation_steps", type=int, default=500)
     p.add_argument("--resume_from_checkpoint", default=None,
                    help='"latest" or a step number')
+    p.add_argument("--platform", default=None, help="cpu|tpu backend override (cpu needed for smoke tests in tunneled-TPU containers)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--log_every", type=int, default=10)

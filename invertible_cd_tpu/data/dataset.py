@@ -25,11 +25,18 @@ IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
 def load_and_preprocess(path: str, resolution: int = 512) -> np.ndarray:
-    """PIL load -> bicubic resize (short side) -> center crop -> [-1, 1]
-    float32 HWC (the reference transform, `datasets.py:15-22`)."""
+    """Load -> bicubic resize (short side) -> center crop -> [-1, 1]
+    float32 HWC (the reference transform, `datasets.py:15-22`).
+
+    The resize/crop/normalise hot path runs in the native C++ library
+    (native/image_ops.cc) when built; PIL otherwise."""
     from PIL import Image
 
+    from ..utils import native
+
     img = Image.open(path).convert("RGB")
+    if native.available():
+        return native.resize_crop_normalize(np.asarray(img), resolution)
     w, h = img.size
     scale = resolution / min(w, h)
     img = img.resize(

@@ -54,6 +54,10 @@ class TrainConfig:
     use_forward_cd: bool = True
     use_forward_preserve: bool = True
     use_reverse_preserve: bool = True
+    # Rematerialise student UNet activations during backprop (the
+    # reference's torch gradient-checkpointing flag,
+    # train_icd_sd15_lora.py:731-733). Needed for SDXL-scale training.
+    remat: bool = False
     loss: L.LossConfig = dataclasses.field(default_factory=L.LossConfig)
 
 
@@ -163,6 +167,8 @@ def make_train_step(
             )
             def apply(x, t, w_emb, ctx=context):
                 return unet.apply(merged, x, t, ctx, w_cond=w_emb)
+            if cfg.remat:
+                apply = jax.checkpoint(apply)
             return apply
 
         def teacher_apply(p, x, t, w_emb, ctx=context):
