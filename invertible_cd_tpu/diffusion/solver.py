@@ -166,7 +166,7 @@ def make_solver_grid(
     num_forward_endpoints: int = 4,
     reverse_timesteps: Sequence[int] | None = None,
     forward_timesteps: Sequence[int] | None = None,
-    max_forward_timestep_index: int = 49,
+    max_forward_timestep_index: int | None = None,
     start_timestep: int = 19,
     num_train_timesteps: int = 1000,
 ) -> SolverGrid:
@@ -178,6 +178,10 @@ def make_solver_grid(
     forward [19,259,519,779] -> s=[259,519,779,999]).
     """
     ddim_ts = ddim_timestep_grid(n_steps, num_train_timesteps)
+    if max_forward_timestep_index is None:
+        # the reference hardcodes 49 for its 50-step grid
+        # (`generate.py` flag default); generalise to the last index
+        max_forward_timestep_index = n_steps - 1
 
     if reverse_timesteps is None or forward_timesteps is None:
         endpoints, inverse_endpoints = _auto_endpoints(

@@ -77,17 +77,15 @@ def forward_sample(
     context_cond: jax.Array,
     grid: SolverGrid,
     schedule: NoiseSchedule,
+    w_embed_dim: int = 0,
 ) -> jax.Array:
-    """Clean latent -> noise (guidance 0, C24)."""
-    g = S.GuidanceConfig(guidance_scale=0.0, w_embed_dim=guidewidth(grid))
+    """Clean latent -> noise (guidance 0 — the forward student trains at
+    w == 0, reference train.py:227; C24)."""
+    g = S.GuidanceConfig(guidance_scale=0.0, w_embed_dim=w_embed_dim)
     return S.cons_inversion(
         noise_model, latent, noise, context_uncond, context_cond,
         grid, schedule, g,
     )
-
-
-def guidewidth(grid) -> int:  # placeholder for API symmetry
-    return 0
 
 
 def sample_for_fid(

@@ -142,11 +142,6 @@ def make_train_step(
     """
     opt = make_optimizer(cfg)
 
-    def apply_with(params):
-        def apply(p, x, t, w_emb, context):
-            return unet.apply(p, x, t, context, w_cond=w_emb)
-        return apply
-
     def step_fn(state: ICDTrainState, base, teacher, batch, rng):
         latents = batch["latents"]
         context = batch["context"]

@@ -1,0 +1,118 @@
+"""Null-text inversion + training-eval loop tests (tiny bundle)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from invertible_cd_tpu.pipelines import GuidanceConfig
+from invertible_cd_tpu.pipelines.nti import (
+    negative_prompt_inversion,
+    null_text_inversion,
+)
+from invertible_cd_tpu.testing import tiny_bundle
+from invertible_cd_tpu.training.eval import (
+    eval_inversion,
+    grid_from_train_solver,
+    sample_for_fid,
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return tiny_bundle()
+
+
+@pytest.fixture(scope="module")
+def pipe10():
+    """Tiny bundle on a 10-step DDIM grid — NTI unrolls the full grid, so
+    the default 50 steps makes the test pathologically slow on CPU."""
+    import dataclasses
+
+    from invertible_cd_tpu.diffusion.solver import make_solver_grid
+
+    p = tiny_bundle()
+    return dataclasses.replace(p, grid=make_solver_grid(n_steps=10))
+
+
+class TestNTI:
+    def test_null_text_inversion_improves_reconstruction(self, pipe10):
+        pipe = pipe10
+        img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+        per_step, inv_latent = null_text_inversion(
+            pipe, img, "a cat", num_inner_steps=3, guidance_scale=7.5
+        )
+        n = pipe.grid.n_steps
+        assert per_step.shape[0] == n
+        assert np.isfinite(np.asarray(per_step)).all()
+
+        g = GuidanceConfig(guidance_scale=7.5, w_embed_dim=0)
+        latent0 = jnp.broadcast_to(inv_latent, inv_latent.shape)
+        # reconstruct with and without the optimised uncond embeddings
+        _, lat_plain = pipe.ddim_generate(["a cat"], latent=latent0, guidance=g)
+        _, lat_nti = pipe.ddim_generate(
+            ["a cat"], latent=latent0, guidance=g, nti_uncond=per_step
+        )
+        _, clean = pipe.ddim_invert(img, "a cat")
+        target = pipe._encode_image(pipe.params["vae"],
+                                    jnp.asarray(img[None], jnp.float32) / 127.5 - 1)
+        err_plain = float(jnp.mean((lat_plain - target) ** 2))
+        err_nti = float(jnp.mean((lat_nti - target) ** 2))
+        assert err_nti <= err_plain * 1.05  # NTI must not be worse
+
+    def test_npi_shape(self, pipe):
+        u = negative_prompt_inversion(pipe, "a cat")
+        assert u.shape[0] == pipe.grid.n_steps
+        assert u.shape[2] == 77
+
+
+class TestTrainingEval:
+    def test_grid_from_train_solver(self):
+        from invertible_cd_tpu.diffusion.schedule import make_schedule
+        from invertible_cd_tpu.diffusion.solver import make_train_solver
+
+        schedule = make_schedule()
+        solver = make_train_solver(
+            np.asarray(schedule.alphas_cumprod),
+            num_endpoints=4, num_forward_endpoints=4,
+            endpoints="0,259,519,779", forward_endpoints="259,519,779,999",
+        )
+        grid = grid_from_train_solver(solver)
+        np.testing.assert_array_equal(grid.reverse_timesteps, [999, 779, 519, 259])
+        np.testing.assert_array_equal(grid.reverse_boundaries, [779, 519, 259, 0])
+        np.testing.assert_array_equal(grid.forward_timesteps, [19, 259, 519, 779])
+        np.testing.assert_array_equal(grid.forward_boundaries, [259, 519, 779, 999])
+
+    def test_sample_for_fid(self, pipe):
+        def gen(batch, key):
+            imgs, _ = pipe.generate(list(batch), key=key)
+            return imgs
+
+        images = sample_for_fid(gen, [f"p{i}" for i in range(5)], batch_size=2)
+        assert len(images) == 5
+        assert images[0].dtype == np.uint8
+
+    def test_eval_inversion_roundtrip(self, pipe):
+        g0 = GuidanceConfig(guidance_scale=0.0, w_embed_dim=0)
+
+        def invert(lat, key):
+            import invertible_cd_tpu.pipelines.sampler as S
+
+            ctx_u, ctx_c = pipe.encode_prompt(["x"] * lat.shape[0])
+            noise = jax.random.normal(key, lat.shape)
+            return S.cons_inversion(
+                pipe._noise_model(pipe.params["forward"]), lat, noise,
+                ctx_u, ctx_c, pipe.grid, pipe.schedule, g0,
+            )
+
+        def reconstruct(lat, key):
+            import invertible_cd_tpu.pipelines.sampler as S
+
+            ctx_u, ctx_c = pipe.encode_prompt(["x"] * lat.shape[0])
+            return S.cons_generation(
+                pipe._noise_model(pipe.params["reverse"]), lat, ctx_u, ctx_c,
+                pipe.grid, pipe.schedule, pipe.default_guidance(),
+            )
+
+        lat = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 4))
+        out = eval_inversion(invert, reconstruct, lat, batch_size=2)
+        assert np.isfinite(out["inversion_latent_mse"])
