@@ -389,13 +389,21 @@ def to_uint8(images: jax.Array) -> np.ndarray:
     return np.asarray(jnp.round(jnp.clip(images, 0, 1) * 255).astype(jnp.uint8))
 
 
-def init_zero_params(unet, text, vae, unet_cfg, clip_cfg, latent_size):
+def init_zero_params(unet, text, vae, unet_cfg, clip_cfg, latent_size,
+                     param_dtype=None):
     """Zero-cost parameter trees (shape-correct, zero-filled) for smoke tests
-    and benchmarks when no checkpoint is available."""
+    and benchmarks when no checkpoint is available. `param_dtype` overrides
+    float leaf dtypes (bf16 storage halves HBM — needed to fit SDXL's 2.6B
+    params plus both text encoders on one 16GB chip)."""
     h, w = latent_size
     pixel_factor = 2 ** (len(vae.cfg.block_out_channels) - 1)
     def zeros_like_tree(shapes):
-        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        def mk(s):
+            dt = s.dtype
+            if param_dtype is not None and jnp.issubdtype(dt, jnp.floating):
+                dt = param_dtype
+            return jnp.zeros(s.shape, dt)
+        return jax.tree.map(mk, shapes)
 
     sample = jnp.zeros((1, h, w, 4))
     ctx = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))

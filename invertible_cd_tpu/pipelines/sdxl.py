@@ -73,14 +73,23 @@ class InvertibleCDXL(InvertibleCD):
         # OpenCLIP pads with 0, not eot (reference tokenizer_2 config).
         tok2 = tokenizer_2 or default_tokenizer(pad_token_id=0)
         if params is None:
-            params = init_zero_params(unet, text, vae, unet_cfg, clip_cfg, latent_size)
+            # bf16 param storage: SDXL fp32 zero-init (~13 GB with both text
+            # encoders) exceeds one v5e's HBM.
+            params = init_zero_params(
+                unet, text, vae, unet_cfg, clip_cfg, latent_size,
+                param_dtype=jnp.bfloat16,
+            )
             shapes2 = jax.eval_shape(
                 lambda: text2.init(
                     jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32)
                 )
             )
             params["text_2"] = jax.tree.map(
-                lambda s: jnp.zeros(s.shape, s.dtype), shapes2
+                lambda s: jnp.zeros(
+                    s.shape,
+                    jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating) else s.dtype,
+                ),
+                shapes2,
             )
         return InvertibleCDXL(
             unet=unet,

@@ -17,3 +17,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_pipe():
+    """One shared tiny InvertibleCD per test session — model init and jit
+    compiles dominate suite wall time, and the pipeline is read-only for
+    tests (its jit cache is shared on purpose)."""
+    from invertible_cd_tpu.testing import tiny_bundle
+
+    return tiny_bundle()

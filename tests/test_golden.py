@@ -24,8 +24,8 @@ def golden():
 
 
 class TestGolden:
-    def test_generation_pinned(self, golden):
-        p = tiny_bundle()
+    def test_generation_pinned(self, golden, tiny_pipe):
+        p = tiny_pipe
         imgs, lat = p.generate(["a photo of a cat"], key=jax.random.PRNGKey(150))
         np.testing.assert_allclose(
             np.asarray(imgs), golden["gen_images"], atol=1e-5, rtol=1e-4
@@ -34,8 +34,8 @@ class TestGolden:
             np.asarray(lat), golden["gen_latents"], atol=1e-5, rtol=1e-4
         )
 
-    def test_inversion_pinned(self, golden):
-        p = tiny_bundle()
+    def test_inversion_pinned(self, golden, tiny_pipe):
+        p = tiny_pipe
         img2 = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
         inv, _ = p.invert(img2, "a photo of a cat", key=jax.random.PRNGKey(1))
         np.testing.assert_allclose(

@@ -18,8 +18,8 @@ from invertible_cd_tpu.training.eval import (
 
 
 @pytest.fixture(scope="module")
-def pipe():
-    return tiny_bundle()
+def pipe(tiny_pipe):
+    return tiny_pipe
 
 
 @pytest.fixture(scope="module")

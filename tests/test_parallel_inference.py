@@ -10,8 +10,8 @@ from invertible_cd_tpu.testing import tiny_bundle
 
 
 class TestShardedGenerate:
-    def test_dp_sharded_matches_single_device(self):
-        pipe = tiny_bundle()
+    def test_dp_sharded_matches_single_device(self, tiny_pipe):
+        pipe = tiny_pipe
         prompts = [f"prompt number {i}" for i in range(8)]
         key = jax.random.PRNGKey(3)
 

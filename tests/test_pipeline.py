@@ -11,8 +11,8 @@ from invertible_cd_tpu.testing import tiny_bundle
 
 
 @pytest.fixture(scope="module")
-def pipe():
-    return tiny_bundle()
+def pipe(tiny_pipe):
+    return tiny_pipe
 
 
 class TestGenerate:
