@@ -118,8 +118,8 @@ def batch_iterator(args, cfg, latent_size):
             i = 0
             while True:
                 k = jax.random.PRNGKey(args.seed * 100003 + i)
-                k1, k2 = jax.random.split(k)
-                yield {
+                k1, k2, k3 = jax.random.split(k, 3)
+                batch = {
                     "latents": jax.random.normal(
                         k1, (args.batch_size, latent_size, latent_size, 4)
                     ),
@@ -127,6 +127,19 @@ def batch_iterator(args, cfg, latent_size):
                         k2, (args.batch_size, 77, cfg.cross_attention_dim)
                     ),
                 }
+                if cfg.addition_embed_dim is not None:
+                    pooled = cfg.addition_embed_dim - 6 * cfg.addition_time_embed_dim
+                    r = float(args.resolution)
+                    batch["added_cond"] = {
+                        "text_embeds": 0.1 * jax.random.normal(
+                            k3, (args.batch_size, pooled)
+                        ),
+                        "time_ids": jnp.tile(
+                            jnp.asarray([[r, r, 0.0, 0.0, r, r]]),
+                            (args.batch_size, 1),
+                        ),
+                    }
+                yield batch
                 i += 1
         return synth()
 

@@ -146,6 +146,7 @@ def make_train_step(
         latents = batch["latents"]
         context = batch["context"]
         uncond_context = batch.get("uncond_context", context)
+        added = batch.get("added_cond")  # SDXL pooled/time_ids (C22)
         b = latents.shape[0]
         k_noise, k_w, k_r, k_f, k_fp, k_rp = jax.random.split(rng, 6)
         noise = batch.get("noise")
@@ -161,16 +162,25 @@ def make_train_step(
                 merge_lora(inner_base, lora, alpha=cfg.lora_alpha, rank=cfg.lora_rank)
             )
             def apply(x, t, w_emb, ctx=context):
-                return unet.apply(merged, x, t, ctx, w_cond=w_emb)
+                return unet.apply(
+                    merged, x, t, ctx, w_cond=w_emb, added_cond=added
+                )
             if cfg.remat:
                 apply = jax.checkpoint(apply)
             return apply
 
         def teacher_apply(p, x, t, w_emb, ctx=context):
-            return unet.apply(p, x, t, ctx, w_cond=w_emb)
+            return unet.apply(p, x, t, ctx, w_cond=w_emb, added_cond=added)
 
         def uncond_apply(p, x, t, w_emb):
-            return unet.apply(p, x, t, uncond_context, w_cond=w_emb)
+            # SDXL uncond uses zeroed pooled embeds
+            # (reference train_icd_xl_lora.py:900-903)
+            added_u = None
+            if added is not None:
+                added_u = dict(added, text_embeds=jnp.zeros_like(added["text_embeds"]))
+            return unet.apply(
+                p, x, t, uncond_context, w_cond=w_emb, added_cond=added_u
+            )
 
         # ---- reverse student objective -------------------------------
         def reverse_objective(lora_r, lora_f_frozen):
