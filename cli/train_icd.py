@@ -167,6 +167,49 @@ def batch_iterator(args, cfg, latent_size):
     return real()
 
 
+def log_validation(logger, unet, cfg, base, state, tcfg, solver, schedule,
+                   latent_size, step):
+    """Fixed-seed sample grid from the current reverse student (the
+    reference's tensorboard validation panels, reference
+    training/src/reverse_eval.py:129-173). Logs raw latent previews when no
+    VAE is attached (synthetic-data smoke runs)."""
+    from invertible_cd_tpu.models.lora import merge_lora
+    from invertible_cd_tpu.pipelines import sampler as S
+    from invertible_cd_tpu.training.eval import grid_from_train_solver
+
+    inner = base["params"] if "params" in base else base
+    merged = {"params": merge_lora(
+        inner, jax.device_get(state.lora_reverse),
+        alpha=tcfg.lora_alpha, rank=tcfg.lora_rank,
+    )} if "params" in base else merge_lora(
+        inner, jax.device_get(state.lora_reverse),
+        alpha=tcfg.lora_alpha, rank=tcfg.lora_rank,
+    )
+    grid = grid_from_train_solver(solver)
+    b = 4
+    key = jax.random.PRNGKey(42)
+    latent = jax.random.normal(key, (b, latent_size, latent_size, 4))
+    ctx = jnp.zeros((b, 77, cfg.cross_attention_dim))
+    g = S.GuidanceConfig(
+        guidance_scale=7.0, w_embed_dim=cfg.time_cond_proj_dim or 0
+    )
+
+    fast_apply = jax.jit(
+        lambda p, x, tt, c, w: unet.apply(p, x, tt, c, w_cond=w)
+    )
+
+    def nm(x, t, c, w, hook):
+        return fast_apply(merged, x, jnp.full((x.shape[0],), t, jnp.int32), c, w)
+
+    out = S.cons_generation(nm, latent, ctx, ctx, grid, schedule, g)
+    # latent-space preview (proper pixels need the VAE; the full pipeline
+    # path is exercised by cli/generate.py)
+    preview = np.asarray(out[..., :3])
+    preview = (preview - preview.min()) / max(float(np.ptp(preview)), 1e-6)
+    logger.log_images(step, "validation/latents", preview)
+    logger.log(step, {"validation_latent_std": float(np.std(np.asarray(out)))})
+
+
 def main(argv=None):
     args = parse_args(argv)
     from invertible_cd_tpu.diffusion.schedule import make_schedule
@@ -239,6 +282,11 @@ def main(argv=None):
                 print(f"step {i + 1}: " + " ".join(
                     f"{k}={v:.5f}" for k, v in sorted(m.items())
                 ))
+            if (i + 1) % args.validation_steps == 0:
+                log_validation(
+                    logger, unet, cfg, base, state, tcfg, solver, schedule,
+                    latent_size, i + 1,
+                )
             if (i + 1) % args.checkpointing_steps == 0 or i + 1 == args.max_steps:
                 save_checkpoint(ckpt_dir, state, keep=args.checkpoints_total_limit)
                 export_inference(
