@@ -38,14 +38,16 @@ def main():
     prompts = ["a photo of a corgi on the beach"] * BATCH
     key = jax.random.PRNGKey(150)
 
-    # Warmup / compile.
+    # Warmup / compile. NOTE: on this container's tunneled-TPU backend
+    # `block_until_ready` does not actually block; a value fetch is the
+    # only reliable fence, so each iteration fetches one pixel.
     imgs, _ = pipe.generate(prompts, key=key)
-    jax.block_until_ready(imgs)
+    float(imgs[0, 0, 0, 0])
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         imgs, _ = pipe.generate(prompts, key=jax.random.PRNGKey(i))
-    jax.block_until_ready(imgs)
+        float(imgs[0, 0, 0, 0])
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt
