@@ -24,14 +24,19 @@ SHAPES = [
 ]
 
 
-def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def timeit(fn, *args, iters=10):
+    # fence with a value fetch: block_until_ready does not block on this
+    # container's tunneled backend (see .claude/skills/verify/SKILL.md)
+    q = args[0]
+    float(fn(q, *args[1:]).astype(jnp.float32)[0, 0, 0, 0])
+    ts = []
+    for i in range(iters):
+        qq = q + jnp.bfloat16(i * 0.001)
+        t0 = time.perf_counter()
+        float(fn(qq, *args[1:]).astype(jnp.float32)[0, 0, 0, 0])
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
 def main():

@@ -59,7 +59,12 @@ def predicted_origin(
         pred_x0 = (sample - sigma_t * model_output) / alpha_t
         return alpha_s * pred_x0 + sigma_s * model_output
     elif prediction_type == "v_prediction":
-        return alpha_t * sample - sigma_t * model_output
+        # Generalised to arbitrary boundaries (the reference only supports
+        # s == 0 here and asserts otherwise, `generation.py:151-152`):
+        # x0 = alpha_t x - sigma_t v ; eps = sigma_t x + alpha_t v.
+        pred_x0 = alpha_t * sample - sigma_t * model_output
+        pred_eps = sigma_t * sample + alpha_t * model_output
+        return alpha_s * pred_x0 + sigma_s * pred_eps
     raise ValueError(f"Prediction type {prediction_type} not supported.")
 
 

@@ -71,10 +71,16 @@ def needleman_wunsch(
     return pairs
 
 
-def _encode(tokenizer, text: str) -> List[int]:
-    """Token ids including bos/eos (alignment runs over the full sequence,
-    matching the reference's use of HF `encode`)."""
-    return [tokenizer.bos_token_id] + tokenizer.tokenize(text) + [tokenizer.eos_token_id]
+def _encode(tokenizer, text: str, max_len: int = MAX_NUM_WORDS) -> List[int]:
+    """Token ids including bos/eos, truncated to the context length
+    (alignment runs over the full sequence, matching the reference's use of
+    HF `encode`; the reference crashes on >77-token prompts — we truncate
+    like the encoding path does)."""
+    ids = [tokenizer.bos_token_id] + tokenizer.tokenize(text) + [tokenizer.eos_token_id]
+    if len(ids) > max_len:
+        ids = ids[:max_len]
+        ids[-1] = tokenizer.eos_token_id
+    return ids
 
 
 def get_mapper(

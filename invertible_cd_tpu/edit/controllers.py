@@ -283,7 +283,11 @@ def edit_attention(
 # LocalBlend (reference p2p.py:18-70)
 # ---------------------------------------------------------------------------
 def _blend_mask(maps, word_mask, th: float, use_pool: bool, out_hw):
-    """maps: (B, L, 1, 16, 16, 77); word_mask: (B,1,1,1,1,77) -> bool (B,1,H,W)."""
+    """maps: (B, L, 1, 16, 16, 77); word_mask: (B,1,1,1,1,77) -> bool (B,1,H,W).
+
+    Includes the base-row union (`mask[:1] + mask`) the reference applies
+    inside `get_mask` for BOTH the main and the substruct mask
+    (reference p2p.py:25-31)."""
     m = (maps * word_mask).sum(-1).mean(1)  # (B, 1, 16, 16)
     if use_pool:
         m = jax.lax.reduce_window(
@@ -292,7 +296,8 @@ def _blend_mask(maps, word_mask, th: float, use_pool: bool, out_hw):
         )
     m = jax.image.resize(m, (m.shape[0], 1) + out_hw, method="nearest")
     m = m / jnp.max(m, axis=(2, 3), keepdims=True)
-    return m > th
+    mask = m > th
+    return mask[:1] | mask
 
 
 def local_blend(
@@ -316,7 +321,6 @@ def local_blend(
     ).astype(jnp.float32)
     hw = (x_t.shape[1], x_t.shape[2])
     mask = _blend_mask(stacked, arrays.alpha_layers, spec.blend_th[0], True, hw)
-    mask = mask[:1] | mask  # union with the base row
     if spec.has_substruct:
         sub = _blend_mask(
             stacked, arrays.substruct_layers, spec.blend_th[1], False, hw
@@ -385,7 +389,6 @@ def aggregate_attention(
     from_where: Sequence[str],
     is_cross: bool,
     select: int = 0,
-    num_steps: int = 1,
 ) -> jax.Array:
     """Average stored attention maps at one resolution into a (res, res, Sk)
     map — the analysis helper behind the reference's attention
@@ -394,7 +397,9 @@ def aggregate_attention(
     `aggregate_attention`).
 
     `store` is ControllerRuntime.store (store_all=True); entries are
-    (B, H, Sq, Sk) per layer per step, accumulated in call order.
+    (B, H, Sq, Sk) per layer *per step* in call order, so the mean over
+    all collected maps already averages across steps (the reference sums
+    per layer and divides by cur_step — same result).
     """
     kind = "cross" if is_cross else "self"
     maps = []
@@ -403,8 +408,7 @@ def aggregate_attention(
             if probs.shape[2] == res * res:
                 b, h, _, sk = probs.shape
                 maps.append(probs[select].reshape(h, res, res, sk))
-    out = jnp.concatenate(maps, axis=0).mean(axis=0)
-    return out / num_steps
+    return jnp.concatenate(maps, axis=0).mean(axis=0)
 
 
 def store_controller(num_steps: int = 50, batch_size: int = 1) -> ControllerSpec:

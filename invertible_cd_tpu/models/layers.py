@@ -96,17 +96,21 @@ class TimestepEmbedding(nn.Module):
 
 
 class ResnetBlock2D(nn.Module):
-    """GN -> silu -> conv3x3 -> (+time bias) -> GN -> silu -> conv3x3 + skip."""
+    """GN -> silu -> conv3x3 -> (+time bias) -> GN -> silu -> conv3x3 + skip.
+
+    norm_eps: 1e-5 in the diffusers UNet, 1e-6 in the diffusers VAE."""
 
     out_channels: int
     use_conv_shortcut: bool = False  # SD uses 1x1 conv shortcut when C changes
     groups: int = 32
+    norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None):
         residual = x
-        h = GroupNorm32(self.groups, name="norm1", dtype=self.dtype)(x)
+        h = GroupNorm32(self.groups, epsilon=self.norm_eps, name="norm1",
+                        dtype=self.dtype)(x)
         h = nn.silu(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
@@ -117,7 +121,8 @@ class ResnetBlock2D(nn.Module):
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = GroupNorm32(self.groups, name="norm2", dtype=self.dtype)(h)
+        h = GroupNorm32(self.groups, epsilon=self.norm_eps, name="norm2",
+                        dtype=self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)),

@@ -70,7 +70,7 @@ class DownEncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers):
-            x = ResnetBlock2D(self.out_channels, dtype=self.dtype, name=f"resnets_{i}")(x)
+            x = ResnetBlock2D(self.out_channels, norm_eps=1e-6, dtype=self.dtype, name=f"resnets_{i}")(x)
         if self.add_downsample:
             # diffusers VAE downsampler: asymmetric pad + stride-2 VALID conv.
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
@@ -90,7 +90,7 @@ class UpDecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers):
-            x = ResnetBlock2D(self.out_channels, dtype=self.dtype, name=f"resnets_{i}")(x)
+            x = ResnetBlock2D(self.out_channels, norm_eps=1e-6, dtype=self.dtype, name=f"resnets_{i}")(x)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
         return x
@@ -102,9 +102,9 @@ class MidBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_0")(x)
+        x = ResnetBlock2D(self.channels, norm_eps=1e-6, dtype=self.dtype, name="resnets_0")(x)
         x = VAEAttention(dtype=self.dtype, name="attentions_0")(x)
-        x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_1")(x)
+        x = ResnetBlock2D(self.channels, norm_eps=1e-6, dtype=self.dtype, name="resnets_1")(x)
         return x
 
 
@@ -126,7 +126,7 @@ class Encoder(nn.Module):
                 dtype=self.dtype, name=f"down_blocks_{i}",
             )(x)
         x = MidBlock(cfg.block_out_channels[-1], dtype=self.dtype, name="mid_block")(x)
-        x = GroupNorm32(32, name="conv_norm_out", dtype=self.dtype)(x)
+        x = GroupNorm32(32, epsilon=1e-6, name="conv_norm_out", dtype=self.dtype)(x)
         x = nn.silu(x)
         x = nn.Conv(
             2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
@@ -153,7 +153,7 @@ class Decoder(nn.Module):
                 ch, cfg.layers_per_block + 1, add_upsample=(i < n - 1),
                 dtype=self.dtype, name=f"up_blocks_{i}",
             )(x)
-        x = GroupNorm32(32, name="conv_norm_out", dtype=self.dtype)(x)
+        x = GroupNorm32(32, epsilon=1e-6, name="conv_norm_out", dtype=self.dtype)(x)
         x = nn.silu(x)
         x = nn.Conv(
             cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),

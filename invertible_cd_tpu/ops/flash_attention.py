@@ -49,16 +49,44 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sk: int, scale: f
 
     n_k = pl.cdiv(sk, block_k)
 
+    divisible = sk % block_k == 0  # static
+
+    single_tile = sk <= block_k  # static
+
     def body(i, carry):
         m, l, acc = carry
-        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
-        # mask the Sk tail (padded keys)
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + i * block_k
-        logits = jnp.where(col < sk, logits, NEG_INF)
+        if single_tile:
+            # one K tile (cross-attention's 77 keys): full static read
+            k = k_ref[...].astype(jnp.float32)
+            v = v_ref[...].astype(jnp.float32)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        elif divisible:
+            # aligned path: starts are multiples of block_k (Mosaic-friendly)
+            start = pl.multiple_of(i * block_k, block_k)
+            k = k_ref[pl.ds(start, block_k), :].astype(jnp.float32)
+            v = v_ref[pl.ds(start, block_k), :].astype(jnp.float32)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # ragged tail: pl.ds CLAMPS an out-of-range start (the last
+            # tile would read shifted data), so compute the clamped start
+            # explicitly and mask keys to [i*block_k, sk) — masking both
+            # the tail and the keys the clamp re-reads.
+            start = jnp.minimum(i * block_k, max(sk - block_k, 0))
+            k = k_ref[pl.ds(start, block_k), :].astype(jnp.float32)
+            v = v_ref[pl.ds(start, block_k), :].astype(jnp.float32)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + start
+            valid = jnp.logical_and(col >= i * block_k, col < sk)
+            logits = jnp.where(valid, logits, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         p = jnp.exp(logits - m_new)

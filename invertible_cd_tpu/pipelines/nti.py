@@ -51,10 +51,14 @@ def _build_nti_step(pipe: InvertibleCD, num_inner_steps: int, guidance_scale: fl
 
         def body_fun(carry):
             u, opt_state, j, _ = carry
+            # The early-stop condition tests the PRE-update loss of the
+            # current iterate (the reference breaks on the loss it just
+            # backpropagated, `inversion.py:33-36`); carrying it from
+            # value_and_grad also avoids a second UNet forward per step.
             loss, grads = jax.value_and_grad(loss_fn)(u)
             updates, opt_state = opt.update(grads, opt_state, u)
             u = optax.apply_updates(u, jax.tree.map(lambda g: lr * g, updates))
-            return u, opt_state, j + 1, loss_fn(u)
+            return u, opt_state, j + 1, loss
 
         init = (uncond, opt.init(uncond), jnp.zeros((), jnp.int32), jnp.inf)
         u, _, n_iter, loss = jax.lax.while_loop(cond_fun, body_fun, init)

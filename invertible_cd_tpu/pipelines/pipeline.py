@@ -189,7 +189,10 @@ class InvertibleCD:
                 hook_factory=rt.hook_factory if rt else None,
                 step_callback=rt.step_callback if rt else None,
             )
-            return self._decode_latents(vae_params, latent), latent
+            # store_all specs surface the recorded attention maps as a jit
+            # output (trace-time-collected tracers become real arrays).
+            store = rt.store if (rt is not None and spec.store_all) else {}
+            return self._decode_latents(vae_params, latent), latent, store
         return jax.jit(run)
 
     def _build_cons_invert(self, g: S.GuidanceConfig):
@@ -261,10 +264,13 @@ class InvertibleCD:
         if spec is None:
             arrays = empty_arrays(self.grid.num_reverse_steps, len(prompts))
         fn = self._get_jit("cons_generate", g, spec)
-        return fn(
+        images, latents, store = fn(
             self.params[model], self.params["vae"], latent, ctx_u, ctx_c, arrays,
             added,
         )
+        if spec is not None and spec.store_all:
+            return images, latents, store
+        return images, latents
 
     def invert(
         self,
@@ -278,9 +284,12 @@ class InvertibleCD:
         `utils/inversion.py:51-100`). `image`: (H, W, 3) or (B, H, W, 3)
         uint8/float in [0, 255]. Returns (noise latent, clean latent)."""
         pixels = to_model_pixels(image)
-        g = guidance or S.GuidanceConfig(guidance_scale=0.0, w_embed_dim=0)
-        # w_embed_dim=0 with guidance 0 -> single uncond-free pass; the
-        # forward student is trained with w == 0 (reference train.py:227).
+        # The forward student trains at w == 0 but IS w-conditioned: it
+        # always sees guidance_scale_embedding(0) through cond_proj
+        # (reference train.py:227 + edit.py passes w_embed_dim=512 into
+        # cons_inversion), so inversion must keep the w-embedding pathway
+        # active with w = 0 — not drop it.
+        g = guidance or self.default_guidance(guidance_scale=0.0)
         ctx_u, ctx_c, added = self._encode_all([prompt] * pixels.shape[0])
         if noise is None:
             h, w = self.latent_size

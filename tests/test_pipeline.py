@@ -131,3 +131,23 @@ class TestEdit:
         )
         pipe.edit(img, "a boat", "a car", ctrl2)
         assert len(pipe._jit_cache) == n_compiled
+
+
+class TestAttentionStore:
+    def test_store_all_reachable_from_generate(self, pipe):
+        from invertible_cd_tpu.edit import (
+            aggregate_attention, empty_arrays, store_controller,
+        )
+
+        spec = store_controller(num_steps=4, batch_size=1)
+        arrays = empty_arrays(4, 1)
+        imgs, lat, store = pipe.generate(
+            ["a cat"], key=jax.random.PRNGKey(0), controller=(spec, arrays)
+        )
+        assert sorted(store.keys()) == [
+            "down_cross", "down_self", "mid_cross", "mid_self",
+            "up_cross", "up_self",
+        ]
+        agg = aggregate_attention(store, 16, ["down", "mid", "up"], is_cross=True)
+        assert agg.shape == (16, 16, 77)
+        assert np.isfinite(np.asarray(agg)).all()
