@@ -418,6 +418,20 @@ def store_controller(num_steps: int = 50, batch_size: int = 1) -> ControllerSpec
     )
 
 
+def spatial_replace_controller(
+    num_steps: int, batch_size: int = 2, stop_inject: float = 0.2
+) -> Tuple[ControllerSpec, ControllerArrays]:
+    """SpatialReplace: copy the base latent onto all rows for the first
+    `(1 - stop_inject) * num_steps` steps (reference `p2p.py:125-135`)."""
+    spec = ControllerSpec(
+        kind="spatial_replace",
+        batch_size=batch_size,
+        num_steps=num_steps,
+        spatial_stop_inject=int((1.0 - stop_inject) * num_steps),
+    )
+    return spec, empty_arrays(num_steps, batch_size)
+
+
 def empty_arrays(num_steps: int, batch_size: int) -> ControllerArrays:
     z = jnp.asarray(_empty())
     return ControllerArrays(

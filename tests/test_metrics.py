@@ -130,3 +130,33 @@ class TestEvaluators:
         # finite value rather than inf
         assert out["psnr"] > 100
         assert abs(out["lpips"]) < 1e-5
+
+
+class TestImageReward:
+    def test_architecture_runs(self):
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from invertible_cd_tpu.metrics.image_reward import (
+            BertConfig, ImageReward, make_image_reward_fn,
+        )
+        from invertible_cd_tpu.metrics.vit import ViTConfig
+        from invertible_cd_tpu.utils.tokenizer import HashTokenizer
+
+        vcfg = dc.replace(ViTConfig.tiny(), projection_dim=None)
+        bcfg = BertConfig.tiny(encoder_width=vcfg.hidden_size)
+        model = ImageReward(vcfg, bcfg)
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.uniform(size=(2, 28, 28, 3)), jnp.float32)
+        ids = jnp.asarray(rng.integers(0, 999, (2, 77)), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), imgs, ids)
+        scores = model.apply(params, imgs, ids)
+        assert scores.shape == (2,)
+        assert np.isfinite(np.asarray(scores)).all()
+
+        # through the Evaluators adapter
+        tok = HashTokenizer(vocab_size=1000)
+        fn = make_image_reward_fn(model, params, tok)
+        out = fn(np.asarray(imgs), ["a cat", "a dog"])
+        assert out.shape == (2,)

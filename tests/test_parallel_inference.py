@@ -28,7 +28,7 @@ class TestShardedGenerate:
 
         arrays = empty_arrays(pipe.grid.num_reverse_steps, len(prompts))
         fn = pipe._get_jit("cons_generate", pipe.default_guidance(), None)
-        imgs_sharded, _ = fn(
+        imgs_sharded, _, _ = fn(
             pipe.params["reverse"], pipe.params["vae"], latent, ctx_u, ctx_c,
             arrays, added,
         )

@@ -151,3 +151,33 @@ class TestAttentionStore:
         agg = aggregate_attention(store, 16, ["down", "mid", "up"], is_cross=True)
         assert agg.shape == (16, 16, 77)
         assert np.isfinite(np.asarray(agg)).all()
+
+
+class TestSpatialReplace:
+    def test_spatial_replace_copies_base(self, pipe):
+        from invertible_cd_tpu.edit import spatial_replace_controller
+
+        spec, arrays = spatial_replace_controller(
+            num_steps=4, batch_size=2, stop_inject=0.0
+        )
+        # stop_inject=0.0 -> inject for all 4 steps -> rows identical
+        imgs, lat = pipe.generate(
+            ["a cat", "a dog"], key=jax.random.PRNGKey(0),
+            controller=(spec, arrays),
+        )
+        np.testing.assert_allclose(
+            np.asarray(lat[0]), np.asarray(lat[1]), atol=1e-5
+        )
+
+    def test_spatial_replace_partial_window(self, pipe):
+        from invertible_cd_tpu.edit import spatial_replace_controller
+
+        spec, arrays = spatial_replace_controller(
+            num_steps=4, batch_size=2, stop_inject=0.75
+        )
+        # inject only step 0 -> rows diverge afterwards
+        imgs, lat = pipe.generate(
+            ["a cat", "a dog"], key=jax.random.PRNGKey(0),
+            controller=(spec, arrays),
+        )
+        assert not np.allclose(np.asarray(lat[0]), np.asarray(lat[1]), atol=1e-5)
