@@ -371,3 +371,90 @@ def load_torch_file(path: str) -> Dict:
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return {k: _np(v) for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (transformers CLIPVisionModel[WithProjection] -> metrics.vit)
+# ---------------------------------------------------------------------------
+def convert_clip_vision_from_transformers(state_dict: Dict) -> Dict:
+    """transformers CLIPVisionModel(.WithProjection) -> metrics.vit.ViTEncoder
+    params (used by the CLIP image scorer, reference `utils/metrics.py:215`).
+
+    HF layout: vision_model.embeddings.{class_embedding,
+    patch_embedding.weight, position_embedding.weight}, pre_layrnorm (sic),
+    encoder.layers.N.{self_attn.{q,k,v,out}_proj, layer_norm1/2, mlp.fc1/2},
+    post_layernorm, [visual_projection.weight].
+    """
+    tree: Dict = {}
+    for key, value in state_dict.items():
+        value = _np(value)
+        if "position_ids" in key:
+            continue
+        k = key.replace("vision_model.", "")
+        if k == "embeddings.class_embedding":
+            tree["class_embedding"] = value
+        elif k == "embeddings.patch_embedding.weight":
+            _set(tree, ("patch_embed", "kernel"), _conv_kernel(value))
+        elif k == "embeddings.patch_embedding.bias":
+            _set(tree, ("patch_embed", "bias"), value)
+        elif k == "embeddings.position_embedding.weight":
+            tree["position_embedding"] = value
+        elif k.startswith("pre_layrnorm") or k.startswith("pre_layernorm"):
+            leaf = "scale" if k.endswith("weight") else "bias"
+            _set(tree, ("pre_layernorm", leaf), value)
+        elif k.startswith("post_layernorm"):
+            leaf = "scale" if k.endswith("weight") else "bias"
+            _set(tree, ("post_layernorm", leaf), value)
+        elif k == "visual_projection.weight":
+            _set(tree, ("projection", "kernel"), _dense_kernel(value))
+        elif k.startswith("encoder.layers."):
+            parts = k.split(".")
+            layer = f"blocks_{parts[2]}"
+            sub, leaf = parts[3:-1], parts[-1]
+            if sub[0] == "self_attn":
+                path = (layer, sub[1])
+            elif sub[0] == "mlp":
+                path = (layer, sub[1])
+            else:  # layer_norm1/2 -> norm1/2
+                path = (layer, sub[0].replace("layer_norm", "norm"))
+            if leaf == "weight":
+                if value.ndim == 2:
+                    _set(tree, path + ("kernel",), _dense_kernel(value))
+                else:
+                    _set(tree, path + ("scale",), value)
+            else:
+                _set(tree, path + ("bias",), value)
+    return {"params": tree}
+
+
+# ---------------------------------------------------------------------------
+# FID InceptionV3 (pytorch-fid pt_inception weights -> metrics.inception)
+# ---------------------------------------------------------------------------
+def convert_inception_weights(state_dict: Dict) -> Dict:
+    """pytorch-fid `pt_inception-2015-12-05` state dict ->
+    {"params": ..., "batch_stats": ...} for metrics.inception.
+
+    torchvision naming (Conv2d_1a_3x3.conv.weight, .bn.{weight,bias,
+    running_mean,running_var}, Mixed_5b.branch1x1...) maps 1:1 onto our
+    module names; BatchNorm statistics go to the flax `batch_stats`
+    collection. The classifier head (fc.*) is dropped — FID uses pool3.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    for key, value in state_dict.items():
+        if key.startswith("fc.") or "AuxLogits" in key:
+            continue
+        value = _np(value)
+        path, leaf = _flaxify_path(key)
+        if leaf == "weight":
+            if value.ndim == 4:
+                _set(params, path + ("kernel",), _conv_kernel(value))
+            else:
+                _set(params, path + ("scale",), value)
+        elif leaf == "bias":
+            _set(params, path + ("bias",), value)
+        elif leaf == "running_mean":
+            _set(stats, path + ("mean",), value)
+        elif leaf == "running_var":
+            _set(stats, path + ("var",), value)
+    return {"params": params, "batch_stats": stats}

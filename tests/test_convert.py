@@ -110,3 +110,84 @@ class TestKohyaRoundTrip:
             np.testing.assert_allclose(back[path]["down"], lora[path]["down"])
             np.testing.assert_allclose(back[path]["up"], lora[path]["up"])
             assert alphas[path] == 8.0
+
+
+class TestClipVisionParity:
+    def test_vision_tower_matches_hf(self):
+        import torch
+        from transformers import CLIPVisionConfig as HFVC
+        from transformers import CLIPVisionModelWithProjection as HFVM
+
+        from invertible_cd_tpu.metrics.vit import ViTConfig, ViTEncoder
+        from invertible_cd_tpu.models.convert import (
+            convert_clip_vision_from_transformers,
+        )
+
+        hf_cfg = HFVC(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=28, patch_size=14,
+            projection_dim=16, attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        hf = HFVM(hf_cfg).eval()
+        cfg = ViTConfig(
+            image_size=28, patch_size=14, hidden_size=32, num_layers=2,
+            num_heads=2, intermediate_size=64, projection_dim=16,
+        )
+        vit = ViTEncoder(cfg)
+        params = convert_clip_vision_from_transformers(hf.state_dict())
+
+        rng = np.random.default_rng(0)
+        imgs = rng.normal(size=(2, 28, 28, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(torch.tensor(imgs.transpose(0, 3, 1, 2))).image_embeds.numpy()
+        out = vit.apply(params, jnp.asarray(imgs))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5, rtol=1e-4)
+
+
+class TestInceptionConverter:
+    def test_structure_matches_flax_init(self):
+        """Build a torch-style state dict from the flax shapes (inverse
+        transposes), convert it, and require identical tree structure +
+        shapes — catches any naming/collection mapping drift."""
+        import jax
+        import jax.numpy as jnp
+
+        from invertible_cd_tpu.metrics.inception import InceptionV3Features
+        from invertible_cd_tpu.models.convert import convert_inception_weights
+
+        mod = InceptionV3Features(resize_input=False)
+        variables = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+
+        # flax tree -> synthetic torch state dict
+        sd = {}
+        flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+        for keypath, leaf in flat:
+            keys = [k.key for k in keypath]
+            coll, path = keys[0], keys[1:]
+            torch_name = ".".join(path[:-1])
+            last = path[-1]
+            arr = np.asarray(leaf)
+            if last == "kernel":
+                sd[f"{torch_name}.weight"] = arr.transpose(3, 2, 0, 1)
+            elif last == "scale":
+                sd[f"{torch_name}.weight"] = arr
+            elif last == "bias":
+                sd[f"{torch_name}.bias"] = arr
+            elif last == "mean":
+                sd[f"{torch_name}.running_mean"] = arr
+            elif last == "var":
+                sd[f"{torch_name}.running_var"] = arr
+
+        converted = convert_inception_weights(sd)
+        ref_struct = jax.tree_util.tree_structure(variables)
+        conv_struct = jax.tree_util.tree_structure(converted)
+        assert ref_struct == conv_struct
+        for (kp1, a), (kp2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(variables)[0],
+            jax.tree_util.tree_flatten_with_path(converted)[0],
+        ):
+            assert a.shape == b.shape, (kp1, a.shape, b.shape)
+        # and the converted tree actually runs
+        out = mod.apply(converted, jnp.zeros((1, 299, 299, 3)))
+        assert out.shape == (1, 2048)
