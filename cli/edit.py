@@ -64,8 +64,34 @@ def find_difference(source: str, target: str):
     return src_words, tgt_words
 
 
+
+
+def apply_config_file(p: "argparse.ArgumentParser", argv):
+    """--config file.json sets parser defaults (CLI flags still override) —
+    the typed replacement for the reference's bash-launcher configs."""
+    import json
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--config" in argv:
+        path = argv[argv.index("--config") + 1]
+        with open(path) as f:
+            cfg = json.load(f)
+        known = {a.dest for a in p._actions}
+        mapped = {}
+        for k, v in cfg.items():
+            if k.startswith("_") or k not in known:
+                continue
+            if isinstance(v, list):
+                mapped[k] = v
+            else:
+                mapped[k] = v
+        p.set_defaults(**mapped)
+    return argv
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None, help="JSON config with flag defaults (configs/*.json)")
     p.add_argument("--model", default="sd15", choices=["sd15", "sdxl", "tiny"])
     p.add_argument("--image", default=None)
     p.add_argument("--source", default=None)
@@ -89,6 +115,7 @@ def parse_args(argv=None):
     p.add_argument("--forward_lora", default=None)
     p.add_argument("--teacher_checkpoint", default=None)
     p.add_argument("--calc_metrics", action="store_true")
+    argv = apply_config_file(p, argv)
     return p.parse_args(argv)
 
 

@@ -39,8 +39,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+
+
+def apply_config_file(p: "argparse.ArgumentParser", argv):
+    """--config file.json sets parser defaults (CLI flags still override) —
+    the typed replacement for the reference's bash-launcher configs."""
+    import json
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--config" in argv:
+        path = argv[argv.index("--config") + 1]
+        with open(path) as f:
+            cfg = json.load(f)
+        known = {a.dest for a in p._actions}
+        mapped = {}
+        for k, v in cfg.items():
+            if k.startswith("_") or k not in known:
+                continue
+            if isinstance(v, list):
+                mapped[k] = v
+            else:
+                mapped[k] = v
+        p.set_defaults(**mapped)
+    return argv
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None, help="JSON config with flag defaults (configs/*.json)")
     p.add_argument("--model", default="sd15", choices=["sd15", "sdxl", "tiny"])
     p.add_argument("--output_dir", required=True)
     p.add_argument("--base_params", default=None,
@@ -69,12 +95,24 @@ def parse_args(argv=None):
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--checkpoints_total_limit", type=int, default=5)
     p.add_argument("--validation_steps", type=int, default=500)
+    p.add_argument("--evaluation_steps", type=int, default=0,
+                   help="run FID eval of the reverse student every N steps "
+                        "(requires --fid_* flags)")
+    p.add_argument("--fid_stats", default=None,
+                   help="npz with mu/sigma reference statistics "
+                        "(the reference's fid_stats_mscoco256_val.npz)")
+    p.add_argument("--fid_prompts", default=None,
+                   help="generation benchmark CSV for the FID sweep")
+    p.add_argument("--fid_num_samples", type=int, default=5000)
+    p.add_argument("--inception_weights", default=None,
+                   help="pt_inception-2015-12-05 torch state dict")
     p.add_argument("--resume_from_checkpoint", default=None,
                    help='"latest" or a step number')
     p.add_argument("--platform", default=None, help="cpu|tpu backend override (cpu needed for smoke tests in tunneled-TPU containers)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--log_every", type=int, default=10)
+    argv = apply_config_file(p, argv)
     return p.parse_args(argv)
 
 
@@ -210,6 +248,32 @@ def log_validation(logger, unet, cfg, base, state, tcfg, solver, schedule,
     logger.log(step, {"validation_latent_std": float(np.std(np.asarray(out)))})
 
 
+def run_fid_eval(args, state):
+    """FID of the live reverse student against reference statistics
+    (reference trainer cadence, train_icd_sd15_lora.py:1063-1082)."""
+    from invertible_cd_tpu.data import load_benchmark
+    from invertible_cd_tpu.metrics import FIDScorer
+    from invertible_cd_tpu.metrics.inception import InceptionV3Features
+    from invertible_cd_tpu.models.convert import (
+        convert_inception_weights, load_torch_file,
+    )
+    from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
+    from invertible_cd_tpu.pipelines.sdxl import InvertibleCDXL
+    from invertible_cd_tpu.training.eval import fid_of_student
+
+    variables = convert_inception_weights(load_torch_file(args.inception_weights))
+    scorer = FIDScorer(variables)
+    pipe = (
+        InvertibleCDXL.sdxl() if args.model == "sdxl" else InvertibleCD.sd15()
+    )
+    prompts = load_benchmark(args.fid_prompts, kind="generation",
+                             max_count=args.fid_num_samples)
+    return fid_of_student(
+        pipe, jax.device_get(state.lora_reverse), scorer, prompts,
+        batch_size=8, reference_stats_path=args.fid_stats,
+    )
+
+
 def main(argv=None):
     args = parse_args(argv)
     from invertible_cd_tpu.diffusion.schedule import make_schedule
@@ -282,6 +346,14 @@ def main(argv=None):
                 print(f"step {i + 1}: " + " ".join(
                     f"{k}={v:.5f}" for k, v in sorted(m.items())
                 ))
+            if (
+                args.evaluation_steps
+                and (i + 1) % args.evaluation_steps == 0
+                and args.fid_stats and args.fid_prompts and args.inception_weights
+            ):
+                fid = run_fid_eval(args, state)
+                logger.log(i + 1, {"fid": fid}, prefix="eval/")
+                print(f"step {i + 1}: FID = {fid:.3f}")
             if (i + 1) % args.validation_steps == 0:
                 log_validation(
                     logger, unet, cfg, base, state, tcfg, solver, schedule,

@@ -144,3 +144,50 @@ def eval_inversion(
             np.mean((np.asarray(rec) - np.asarray(chunk)) ** 2, axis=(1, 2, 3))
         )
     return {"inversion_latent_mse": float(np.mean(np.concatenate(mses)))}
+
+
+def fid_of_student(
+    pipe,
+    lora: Dict,
+    scorer,
+    prompts: Sequence[str],
+    batch_size: int = 8,
+    seed: int = 0,
+    lora_alpha: float = 8.0,
+    reference_images=None,
+    reference_stats_path: Optional[str] = None,
+    max_count: Optional[int] = None,
+) -> float:
+    """FID of the live reverse student (reference
+    `distributed_sampling` + `calculate_fid`,
+    `train_icd_sd15_lora.py:1063-1082`): merge the LoRA into the
+    pipeline's base weights, sweep prompts, score against reference
+    stats/images.
+
+    pipe: an InvertibleCD with base weights in params["teacher"];
+    lora: the student adapter pytree (e.g. state.lora_reverse);
+    scorer: metrics.fid.FIDScorer with loaded Inception weights.
+    """
+    from ..models.lora import merge_lora
+
+    rank = next(iter(lora.values()))["down"].shape[-1]
+    inner = pipe.params["teacher"]
+    wrap = "params" in inner
+    merged = merge_lora(inner["params"] if wrap else inner,
+                        jax.device_get(lora), alpha=lora_alpha, rank=rank)
+    old = pipe.params.get("reverse")
+    pipe.params["reverse"] = {"params": merged} if wrap else merged
+    try:
+        def gen(batch, key):
+            imgs, _ = pipe.generate(list(batch), key=key)
+            return imgs
+
+        images = sample_for_fid(gen, prompts, batch_size, seed, max_count)
+    finally:
+        if old is not None:
+            pipe.params["reverse"] = old
+    return scorer.fid(
+        images,
+        reference_images=reference_images,
+        reference_stats_path=reference_stats_path,
+    )

@@ -116,3 +116,30 @@ class TestTrainingEval:
         lat = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 4))
         out = eval_inversion(invert, reconstruct, lat, batch_size=2)
         assert np.isfinite(out["inversion_latent_mse"])
+
+
+class TestFidOfStudent:
+    def test_fid_eval_pipeline(self, pipe, tmp_path):
+        """End-to-end in-training FID: merge tiny LoRA, sweep prompts,
+        score against self-stats (random-init Inception)."""
+        from invertible_cd_tpu.metrics import FIDScorer
+        from invertible_cd_tpu.models.lora import init_lora
+        from invertible_cd_tpu.training.eval import fid_of_student, sample_for_fid
+
+        scorer = FIDScorer.random_init()
+        lora = init_lora(
+            jax.random.PRNGKey(0), pipe.params["teacher"]["params"], rank=2
+        )
+        prompts = [f"prompt {i}" for i in range(4)]
+
+        def gen(batch, key):
+            imgs, _ = pipe.generate(list(batch), key=key)
+            return imgs
+
+        ref_images = sample_for_fid(gen, prompts, batch_size=2)
+        fid = fid_of_student(
+            pipe, lora, scorer, prompts, batch_size=2,
+            reference_images=ref_images,
+        )
+        # identity LoRA (up=0) -> identical images -> FID ~ 0
+        assert abs(fid) < 1e-2, fid
