@@ -224,3 +224,57 @@ def make_random_evaluators(seed: int = 0, tiny: bool = True) -> Evaluators:
         evals._jit["clip_img"] = jax.jit(feat)
         evals._jit["dino"] = jax.jit(dfeat)
     return evals
+
+
+def evaluators_from_weights(
+    clip_vision_path: Optional[str] = None,
+    clip_text_path: Optional[str] = None,
+    dino_path: Optional[str] = None,
+    vgg_path: Optional[str] = None,
+    lpips_heads_path: Optional[str] = None,
+    tokenizer=None,
+) -> Evaluators:
+    """Assemble real evaluators from torch checkpoint files using the
+    converters in models/convert.py — the loading story the reference gets
+    from transformers/torchhub/piq downloads (`utils/metrics.py:139-321`).
+    Any missing path leaves that metric gated (None)."""
+    from ..models.convert import (
+        convert_clip_text_from_transformers,
+        convert_clip_vision_from_transformers,
+        convert_dinov2_weights,
+        convert_lpips_weights,
+        load_torch_file,
+    )
+    from ..utils.tokenizer import default_tokenizer
+    from .lpips import LPIPS
+
+    clip_vision = clip_text = dino = lpips = None
+    if clip_vision_path:
+        vit = ViTEncoder(ViTConfig.clip_vit_l14())
+        clip_vision = (
+            vit, convert_clip_vision_from_transformers(load_torch_file(clip_vision_path))
+        )
+    if clip_text_path:
+        cfg = dataclasses.replace(CLIPTextConfig.vit_l(), projection_dim=768)
+        text = CLIPTextModel(cfg)
+        clip_text = (
+            text, convert_clip_text_from_transformers(load_torch_file(clip_text_path))
+        )
+    if dino_path:
+        dvit = ViTEncoder(ViTConfig.dinov2_vit_b14())
+        dino = (dvit, convert_dinov2_weights(load_torch_file(dino_path)))
+    if vgg_path and lpips_heads_path:
+        mod = LPIPS()
+        lpips = (
+            mod,
+            convert_lpips_weights(
+                load_torch_file(vgg_path), load_torch_file(lpips_heads_path)
+            ),
+        )
+    return Evaluators(
+        clip_vision=clip_vision,
+        clip_text=clip_text,
+        clip_tokenizer=tokenizer or default_tokenizer(),
+        dino=dino,
+        lpips=lpips,
+    )

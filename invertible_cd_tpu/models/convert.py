@@ -458,3 +458,93 @@ def convert_inception_weights(state_dict: Dict) -> Dict:
         elif leaf == "running_var":
             _set(stats, path + ("var",), value)
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# DINOv2 (torch-hub dinov2_vitb14 -> metrics.vit.ViTEncoder)
+# ---------------------------------------------------------------------------
+def convert_dinov2_weights(state_dict: Dict) -> Dict:
+    """torch-hub DINOv2 ViT state dict -> ViTEncoder params
+    (reference scores DINOv2 similarity, `utils/metrics.py:176-207`).
+
+    hub layout: cls_token (1,1,D), pos_embed (1,N+1,D), patch_embed.proj,
+    blocks.N.{norm1, attn.qkv (fused), attn.proj, ls1.gamma, norm2,
+    mlp.fc1, mlp.fc2, ls2.gamma}, norm. The fused qkv splits into thirds.
+    """
+    tree: Dict = {}
+    for key, value in state_dict.items():
+        value = _np(value)
+        if key == "cls_token":
+            tree["class_embedding"] = value.reshape(-1)
+        elif key == "pos_embed":
+            tree["position_embedding"] = value[0]
+        elif key.startswith("patch_embed.proj."):
+            leaf = "kernel" if key.endswith("weight") else "bias"
+            v = _conv_kernel(value) if value.ndim == 4 else value
+            _set(tree, ("patch_embed", leaf), v)
+        elif key.startswith("norm."):
+            leaf = "scale" if key.endswith("weight") else "bias"
+            _set(tree, ("post_layernorm", leaf), value)
+        elif key.startswith("blocks."):
+            parts = key.split(".")
+            layer = f"blocks_{parts[1]}"
+            sub = parts[2:]
+            if sub[0] == "attn" and sub[1] == "qkv":
+                d = value.shape[0] // 3
+                qs, ks, vs = value[:d], value[d:2 * d], value[2 * d:]
+                for name, chunk in (("q_proj", qs), ("k_proj", ks), ("v_proj", vs)):
+                    if key.endswith("weight"):
+                        _set(tree, (layer, name, "kernel"), _dense_kernel(chunk))
+                    else:
+                        _set(tree, (layer, name, "bias"), chunk)
+            elif sub[0] == "attn" and sub[1] == "proj":
+                leaf = "kernel" if key.endswith("weight") else "bias"
+                v = _dense_kernel(value) if value.ndim == 2 else value
+                _set(tree, (layer, "out_proj", leaf), v)
+            elif sub[0] in ("ls1", "ls2"):
+                _set(tree, (layer, sub[0]), value)
+            elif sub[0] in ("norm1", "norm2"):
+                leaf = "scale" if key.endswith("weight") else "bias"
+                _set(tree, (layer, sub[0], leaf), value)
+            elif sub[0] == "mlp":
+                leaf = "kernel" if key.endswith("weight") else "bias"
+                v = _dense_kernel(value) if value.ndim == 2 else value
+                _set(tree, (layer, sub[1], leaf), v)
+    return {"params": tree}
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (torchvision VGG16 features + LPIPS linear heads -> metrics.lpips)
+# ---------------------------------------------------------------------------
+_VGG_FEATURE_INDEX = {
+    0: ("vgg", "conv0_0"), 2: ("vgg", "conv0_1"),
+    5: ("vgg", "conv1_0"), 7: ("vgg", "conv1_1"),
+    10: ("vgg", "conv2_0"), 12: ("vgg", "conv2_1"), 14: ("vgg", "conv2_2"),
+    17: ("vgg", "conv3_0"), 19: ("vgg", "conv3_1"), 21: ("vgg", "conv3_2"),
+    24: ("vgg", "conv4_0"), 26: ("vgg", "conv4_1"), 28: ("vgg", "conv4_2"),
+}
+
+
+def convert_lpips_weights(
+    vgg_state_dict: Dict, lpips_state_dict: Dict
+) -> Dict:
+    """torchvision `vgg16().features` + LPIPS `lin{i}.model.1.weight`
+    heads -> metrics.lpips.LPIPS params (reference uses piq's LPIPS,
+    `utils/metrics.py:310-324`)."""
+    tree: Dict = {}
+    for key, value in vgg_state_dict.items():
+        parts = key.split(".")
+        # accept "features.N.weight" or bare "N.weight"
+        idx = int(parts[1] if parts[0] == "features" else parts[0])
+        if idx not in _VGG_FEATURE_INDEX:
+            continue
+        path = _VGG_FEATURE_INDEX[idx]
+        leaf = "kernel" if key.endswith("weight") else "bias"
+        v = _np(value)
+        _set(tree, path + (leaf,), _conv_kernel(v) if v.ndim == 4 else v)
+    for key, value in lpips_state_dict.items():
+        m = re.match(r"^lin(\d)\.model\.1\.weight$", key)
+        if not m:
+            continue
+        _set(tree, (f"lin{m.group(1)}", "kernel"), _conv_kernel(_np(value)))
+    return {"params": tree}

@@ -191,3 +191,95 @@ class TestInceptionConverter:
         # and the converted tree actually runs
         out = mod.apply(converted, jnp.zeros((1, 299, 299, 3)))
         assert out.shape == (1, 2048)
+
+
+class TestDinoConverter:
+    def test_structure_matches_flax_init(self):
+        import dataclasses as dc
+
+        from invertible_cd_tpu.metrics.vit import ViTConfig, ViTEncoder
+        from invertible_cd_tpu.models.convert import convert_dinov2_weights
+
+        cfg = dc.replace(
+            ViTConfig.tiny(), projection_dim=None, layer_scale_init=1e-5,
+            pre_ln=False,
+        )
+        vit = ViTEncoder(cfg)
+        variables = vit.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 3))
+        )
+        d = cfg.hidden_size
+
+        # synthesize a hub-style state dict with matching shapes
+        rng = np.random.default_rng(0)
+        n_pos = (cfg.image_size // cfg.patch_size) ** 2 + 1
+        sd = {
+            "cls_token": rng.normal(size=(1, 1, d)).astype(np.float32),
+            "pos_embed": rng.normal(size=(1, n_pos, d)).astype(np.float32),
+            "patch_embed.proj.weight": rng.normal(
+                size=(d, 3, cfg.patch_size, cfg.patch_size)
+            ).astype(np.float32),
+            "patch_embed.proj.bias": rng.normal(size=(d,)).astype(np.float32),
+            "norm.weight": np.ones(d, np.float32),
+            "norm.bias": np.zeros(d, np.float32),
+        }
+        for i in range(cfg.num_layers):
+            sd.update({
+                f"blocks.{i}.norm1.weight": np.ones(d, np.float32),
+                f"blocks.{i}.norm1.bias": np.zeros(d, np.float32),
+                f"blocks.{i}.attn.qkv.weight": rng.normal(size=(3 * d, d)).astype(np.float32),
+                f"blocks.{i}.attn.qkv.bias": rng.normal(size=(3 * d,)).astype(np.float32),
+                f"blocks.{i}.attn.proj.weight": rng.normal(size=(d, d)).astype(np.float32),
+                f"blocks.{i}.attn.proj.bias": rng.normal(size=(d,)).astype(np.float32),
+                f"blocks.{i}.ls1.gamma": np.full(d, 1e-5, np.float32),
+                f"blocks.{i}.ls2.gamma": np.full(d, 1e-5, np.float32),
+                f"blocks.{i}.norm2.weight": np.ones(d, np.float32),
+                f"blocks.{i}.norm2.bias": np.zeros(d, np.float32),
+                f"blocks.{i}.mlp.fc1.weight": rng.normal(size=(cfg.intermediate_size, d)).astype(np.float32),
+                f"blocks.{i}.mlp.fc1.bias": rng.normal(size=(cfg.intermediate_size,)).astype(np.float32),
+                f"blocks.{i}.mlp.fc2.weight": rng.normal(size=(d, cfg.intermediate_size)).astype(np.float32),
+                f"blocks.{i}.mlp.fc2.bias": rng.normal(size=(d,)).astype(np.float32),
+            })
+        converted = convert_dinov2_weights(sd)
+        assert (
+            jax.tree_util.tree_structure(converted)
+            == jax.tree_util.tree_structure(variables)
+        )
+        out = vit.apply(converted, jnp.zeros((1, 28, 28, 3)))
+        assert out.shape == (1, cfg.hidden_size)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestLpipsConverter:
+    def test_structure_matches_flax_init(self):
+        from invertible_cd_tpu.metrics.lpips import LPIPS
+        from invertible_cd_tpu.models.convert import (
+            _VGG_FEATURE_INDEX, convert_lpips_weights,
+        )
+
+        mod = LPIPS()
+        variables = mod.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3))
+        )
+        rng = np.random.default_rng(0)
+        # synthesize torchvision-style VGG features dict from flax shapes
+        flax_vgg = variables["params"]["vgg"]
+        sd_vgg = {}
+        inv = {v[1]: k for k, v in _VGG_FEATURE_INDEX.items()}
+        for name, leafs in flax_vgg.items():
+            idx = inv[name]
+            k = np.asarray(leafs["kernel"])
+            sd_vgg[f"features.{idx}.weight"] = k.transpose(3, 2, 0, 1)
+            sd_vgg[f"features.{idx}.bias"] = np.asarray(leafs["bias"])
+        sd_lin = {}
+        for i in range(5):
+            k = np.asarray(variables["params"][f"lin{i}"]["kernel"])
+            sd_lin[f"lin{i}.model.1.weight"] = k.transpose(3, 2, 0, 1)
+        converted = convert_lpips_weights(sd_vgg, sd_lin)
+        assert (
+            jax.tree_util.tree_structure(converted)
+            == jax.tree_util.tree_structure(variables)
+        )
+        a = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+        d = mod.apply(converted, a, a)
+        np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
