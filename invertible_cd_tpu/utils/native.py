@@ -25,10 +25,24 @@ def _load() -> Optional[ctypes.CDLL]:
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(
-        os.path.dirname(__file__), "..", "..", "native", "libicd_image_ops.so"
+    root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "native")
     )
-    path = os.path.abspath(path)
+    path = os.path.join(root, "libicd_image_ops.so")
+    if not os.path.exists(path):
+        # build on demand (the .so is not committed; g++ is in the image)
+        src = os.path.join(root, "image_ops.cc")
+        if os.path.exists(src):
+            import subprocess
+
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-pthread", "-o", path, src],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except (subprocess.SubprocessError, FileNotFoundError, OSError):
+                return None
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
