@@ -111,6 +111,11 @@ def parse_args(argv=None):
     p.add_argument("--platform", default=None, help="cpu|tpu backend override (cpu needed for smoke tests in tunneled-TPU containers)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--remat", action="store_true",
+                   help="gradient checkpointing on the student UNets")
+    p.add_argument("--bf16_params", action="store_true",
+                   help="store base/teacher params in bf16 (halves HBM; "
+                        "LoRA adapters and optimizer stay fp32)")
     p.add_argument("--log_every", type=int, default=10)
     argv = apply_config_file(p, argv)
     return p.parse_args(argv)
@@ -147,6 +152,12 @@ def build_models(args):
         base = jax.tree.map(jnp.asarray, base)
     else:
         base = unet.init(rng, sample, jnp.zeros((1,), jnp.int32), ctx, wv, added)
+    if args.bf16_params:
+        base = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            base,
+        )
     return unet, cfg, base, latent
 
 
@@ -302,6 +313,7 @@ def main(argv=None):
     tcfg = TrainConfig(
         learning_rate=args.learning_rate,
         lora_rank=args.lora_rank,
+        remat=args.remat,
         discrete_w=tuple(float(w) for w in args.discrete_w.split(",")) or None,
         use_forward_preserve=not args.no_forward_preserve,
         use_reverse_preserve=not args.no_reverse_preserve,

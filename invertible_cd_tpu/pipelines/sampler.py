@@ -238,14 +238,20 @@ def ddim_loop(
     `per_step_uncond` carries Null-Text-Inversion embeddings — one uncond
     context per step (reference `generation.py:320-321`).
 
-    The loop is unrolled (timesteps and per-step guidance are static); XLA
-    CSEs the shared UNet body, and with hooks/NTI absent the common case
-    still compiles to one program. `return_all` stacks the latent
-    trajectory (needed to record targets for NTI).
+    Without controller hooks the 50 steps compile as ONE `lax.scan` body
+    (per-step guidance constants become scan inputs) — a 50x smaller XLA
+    graph than unrolling, which matters for full-size UNets. Hooked /
+    callback runs fall back to the unrolled path (the controller's
+    per-step structure is static).
     """
     timesteps = grid.ddim_timesteps[::-1] if not is_forward else grid.ddim_timesteps
     # Reference indexes scheduler.timesteps (descending) from the back for
     # forward loops (`generation.py:323-326`), i.e. ascending ddim grid.
+    if hook_factory is None and step_callback is None:
+        return _ddim_loop_scan(
+            noise_model, latent, context_uncond, context_cond, timesteps,
+            grid, schedule, g, is_forward, per_step_uncond, return_all,
+        )
     trajectory: List[jax.Array] = [latent]
     for i, t in enumerate(timesteps.tolist()):
         cu = context_uncond if per_step_uncond is None else per_step_uncond[i]
@@ -266,3 +272,66 @@ def ddim_loop(
     if return_all:
         return jnp.stack(trajectory, axis=0)
     return latent
+
+
+def _ddim_loop_scan(
+    noise_model: NoiseModel,
+    latent: jax.Array,
+    context_uncond: jax.Array,
+    context_cond: jax.Array,
+    timesteps: np.ndarray,
+    grid: SolverGrid,
+    schedule: NoiseSchedule,
+    g: GuidanceConfig,
+    is_forward: bool,
+    per_step_uncond: Optional[jax.Array],
+    return_all: bool,
+):
+    """Scan form of the hook-free DDIM loop: the static per-step guidance
+    values fold into scan inputs, timesteps become traced scalars."""
+    b = latent.shape[0]
+    n = len(timesteps)
+    ts = jnp.asarray(timesteps.copy(), jnp.int32)
+    step_ratio = 1000 // grid.n_steps
+
+    if g.w_embed_dim > 0:
+        w_embs = jnp.stack(
+            [w_embedding_for(g, int(t), b, latent.dtype) for t in timesteps]
+        )  # (N, B, w_dim)
+        scales = jnp.zeros((n,), jnp.float32)
+    else:
+        w_embs = jnp.zeros((n, 0), latent.dtype)
+        scales = jnp.asarray(
+            [g.cfg_scale_at(int(t)) for t in timesteps], jnp.float32
+        )
+    if per_step_uncond is None:
+        per_step_uncond = jnp.broadcast_to(
+            context_uncond[None], (n,) + context_uncond.shape
+        )
+
+    def step(carry, xs):
+        lat = carry
+        t, w_emb, scale, cu = xs
+        if g.w_embed_dim > 0:
+            eps = noise_model(lat, t, context_cond, w_emb, None)
+        else:
+            doubled = jnp.concatenate([lat, lat], axis=0)
+            ctx = jnp.concatenate([cu, context_cond], axis=0)
+            eps2 = noise_model(doubled, t, ctx, None, None)
+            eps_u, eps_c = jnp.split(eps2, 2, axis=0)
+            if g.guidance_scale > 1:
+                eps = eps_u + scale * (eps_c - eps_u)
+            else:
+                eps = eps_c
+        if is_forward:
+            lat = ddim_next_step(eps, t, lat, schedule, step_ratio)
+        else:
+            lat = ddim_prev_step(eps, t, lat, schedule, step_ratio)
+        return lat, (lat if return_all else None)
+
+    final, traj = jax.lax.scan(
+        step, latent, (ts, w_embs, scales, per_step_uncond)
+    )
+    if return_all:
+        return jnp.concatenate([latent[None], traj], axis=0)
+    return final
