@@ -182,10 +182,21 @@ def make_train_step(
                 p, x, t, uncond_context, w_cond=w_emb, added_cond=added_u
             )
 
+        # Frozen counterparts are merged ONCE outside the grad functions —
+        # inside, each objective would materialise its own merged tree and
+        # peak HBM grows by a full parameter copy (the difference between
+        # fitting and OOMing full-size SD1.5 on one 16 GB chip).
+        frozen_reverse_apply = student_apply_factory(
+            jax.lax.stop_gradient(state.lora_reverse)
+        )
+        frozen_forward_apply = student_apply_factory(
+            jax.lax.stop_gradient(state.lora_forward)
+        )
+
         # ---- reverse student objective -------------------------------
-        def reverse_objective(lora_r, lora_f_frozen):
+        def reverse_objective(lora_r):
             s_apply = student_apply_factory(lora_r)
-            f_apply = student_apply_factory(jax.lax.stop_gradient(lora_f_frozen))
+            f_apply = frozen_forward_apply
             total = jnp.zeros((), jnp.float32)
             logs = {}
             if cfg.use_reverse_cd:
@@ -208,9 +219,9 @@ def make_train_step(
             return total, logs
 
         # ---- forward student objective -------------------------------
-        def forward_objective(lora_f, lora_r_frozen):
+        def forward_objective(lora_f):
             s_apply = student_apply_factory(lora_f)
-            r_apply = student_apply_factory(jax.lax.stop_gradient(lora_r_frozen))
+            r_apply = frozen_reverse_apply
             total = jnp.zeros((), jnp.float32)
             logs = {}
             if cfg.use_forward_cd:
@@ -237,7 +248,7 @@ def make_train_step(
         if cfg.use_reverse_cd or cfg.use_reverse_preserve:
             (loss_r, logs_r), grads_r = jax.value_and_grad(
                 reverse_objective, has_aux=True
-            )(state.lora_reverse, state.lora_forward)
+            )(state.lora_reverse)
             updates, new_opt_r = opt.update(
                 grads_r, state.opt_reverse, state.lora_reverse
             )
@@ -250,7 +261,7 @@ def make_train_step(
         if cfg.use_forward_cd or cfg.use_forward_preserve:
             (loss_f, logs_f), grads_f = jax.value_and_grad(
                 forward_objective, has_aux=True
-            )(state.lora_forward, state.lora_reverse)
+            )(state.lora_forward)
             updates, new_opt_f = opt.update(
                 grads_f, state.opt_forward, state.lora_forward
             )
