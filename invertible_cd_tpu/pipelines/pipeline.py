@@ -18,7 +18,6 @@ inputs — see edit/controllers.py.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax

@@ -25,7 +25,7 @@ where `latent` is (B, H, W, C) NHWC, `t` a static python int, `context`
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp

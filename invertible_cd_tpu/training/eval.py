@@ -18,14 +18,13 @@ on one host it's a no-op.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from ..diffusion.schedule import NoiseSchedule, add_noise
-from ..diffusion.solver import SolverGrid, TrainSolver, predicted_origin
+from ..diffusion.schedule import NoiseSchedule
+from ..diffusion.solver import SolverGrid, TrainSolver
 from ..pipelines import sampler as S
 
 

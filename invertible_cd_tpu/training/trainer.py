@@ -21,7 +21,7 @@ intra-step staleness of the *other* student's frozen weights.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
