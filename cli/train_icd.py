@@ -340,6 +340,14 @@ def main(argv=None):
             )
             if latest_step(ckpt_dir) is not None:
                 state = restore_checkpoint(ckpt_dir, state, step)
+                # orbax restores onto the default device; move the state
+                # back onto the mesh (replicated) or jit refuses to mix it
+                # with the mesh-sharded base params
+                from invertible_cd_tpu.parallel import replicated
+
+                state = jax.tree.map(
+                    lambda x: jax.device_put(x, replicated(mesh)), state
+                )
                 print(f"resumed from step {int(state.step)}")
         step_fn = make_train_step(unet, base, base, solver, schedule, tcfg, mesh)
         data = batch_iterator(args, cfg, latent_size)
