@@ -91,3 +91,31 @@ class TestTrainStep:
         state2 = init_train_state(jax.random.PRNGKey(9), base, tcfg)
         new_state, metrics = step(state2, base, base, batch, jax.random.PRNGKey(4))
         assert np.isfinite(float(metrics["reverse_total_loss"]))
+
+
+class TestResumeOnMesh:
+    def test_restored_state_steps_on_mesh(self, setup, tmp_path):
+        """orbax restore lands on the default device; the state must be
+        device_put back onto the mesh before stepping (regression for the
+        resume bug fixed in cli/train_icd.py)."""
+        from invertible_cd_tpu.parallel import replicated
+        from invertible_cd_tpu.training.checkpoint import (
+            restore_checkpoint, save_checkpoint,
+        )
+
+        unet, cfg, base, schedule, solver, tcfg, state, step = setup
+        mesh = make_mesh(dp=8, fsdp=1)
+        base_m = jax.tree.map(
+            lambda x: jax.device_put(x, replicated(mesh)), base
+        )
+        st = init_train_state(jax.random.PRNGKey(11), base, tcfg)
+        d = str(tmp_path / "ckpt")
+        save_checkpoint(d, st, keep=1)
+        restored = restore_checkpoint(d, init_train_state(jax.random.PRNGKey(12), base, tcfg))
+        restored = jax.tree.map(
+            lambda x: jax.device_put(x, replicated(mesh)), restored
+        )
+        batch = shard_batch(make_batch(cfg, b=8, seed=7), mesh)
+        new_state, metrics = step(restored, base_m, base_m, batch, jax.random.PRNGKey(7))
+        assert np.isfinite(float(metrics["reverse_total_loss"]))
+        assert int(new_state.step) == 1
