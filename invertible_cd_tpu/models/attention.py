@@ -63,6 +63,10 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     tokens x D=64: ~2.6x); XLA's fused attention is at parity or better on
     the short/ragged-head shapes. ICD_TPU_PALLAS_ATTENTION=1 forces the
     kernel everywhere, =0 disables it, unset -> auto heuristic.
+
+    The kernel is grad-safe: it carries a custom_vjp with Pallas backward
+    kernels (tests/test_pallas_attention.py::test_grad_*), so the SDXL
+    training losses may differentiate through this path.
     """
     import os
 

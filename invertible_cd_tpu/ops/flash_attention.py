@@ -1,23 +1,32 @@
-"""Fused (flash) attention as a Pallas TPU kernel.
+"""Fused (flash) attention as a Pallas TPU kernel — forward AND backward.
 
 The UNet's hot loop is attention over 4096/1024/256 latent tokens
-(SURVEY.md §3.1). This kernel computes softmax(QK^T/sqrt(d))V with the
-online-softmax recurrence — one pass over K/V tiles, fp32 running max/sum,
-no (Sq, Sk) probability matrix in HBM.
+(SURVEY.md §3.1). The forward kernel computes softmax(QK^T/sqrt(d))V with
+the online-softmax recurrence — one pass over K/V tiles, fp32 running
+max/sum, no (Sq, Sk) probability matrix in HBM.
 
-Layout: q (B*H, Sq, D), k/v (B*H, Sk, D). The grid is
-(batch*heads, Sq tiles); each program streams K/V tiles through VMEM.
-D and Sk are padded to lane width by Mosaic; Sk padding is masked with
--inf logits (needed for cross-attention's Sk=77).
+Training differentiates through attention (reference `training/src/train.py`
+runs the student UNet under grad), so the kernel carries a `jax.custom_vjp`:
+the forward saves a per-row logsumexp residual and the backward runs two
+Pallas kernels (dQ tiled over query rows, dK/dV tiled over key rows) that
+recompute probabilities flash-style instead of materialising them.
+
+Layouts (all chosen so no kernel ever transposes on-chip):
+  - q/k/v/o/do: (G, S, D) with G = batch*heads; rows on sublanes, D on lanes.
+  - lse residual: (G, Sq, 128) fp32, the row value replicated across 128
+    lanes (same trick as jax's splash-attention residuals) — each backward
+    tile reads `lse[:, :1]` and broadcasts it along the key axis for free.
+  - delta = rowsum(dO * O) is recomputed inside each backward kernel from
+    the o/do tiles (D <= 160, one VPU reduction) instead of being stored.
+  - cross-tile matmuls are NT / TN `dot_general`s (MXU-native, no
+    explicit transposition of p/ds tiles).
 
 The p2p controller hook needs materialised probabilities; hooked layers
 (<= 32^2 tokens, reference `utils/p2p.py:147`) take the XLA einsum path in
 models/attention.py instead — the editing path pays for editability, the
 generation path doesn't.
 
-On non-TPU backends the kernel runs in interpreter mode (tests) — use
-`attention(..., force_xla=True)` or leave `use_pallas` off in production
-CPU runs.
+On non-TPU backends the kernel runs in interpreter mode (tests).
 """
 from __future__ import annotations
 
@@ -27,17 +36,18 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:  # pltpu is importable on CPU builds too; guard for safety
-    from jax.experimental.pallas import tpu as pltpu
-
-    _HAS_PLTPU = True
-except ImportError:  # pragma: no cover
-    _HAS_PLTPU = False
-
 NEG_INF = -1e30
+LSE_LANES = 128  # lane replication width of the logsumexp residual
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sk: int, scale: float):
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, sk: int, scale: float
+):
     """One (q-tile) program: stream K/V tiles, online softmax."""
     q = q_ref[...].astype(jnp.float32) * scale  # (block_q, D)
     block_q = q.shape[0]
@@ -48,9 +58,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sk: int, scale: f
     acc = jnp.zeros((block_q, d), jnp.float32)
 
     n_k = pl.cdiv(sk, block_k)
-
     divisible = sk % block_k == 0  # static
-
     single_tile = sk <= block_k  # static
 
     def body(i, carry):
@@ -98,31 +106,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sk: int, scale: f
         return m_new, l, acc
 
     m, l, acc = jax.lax.fori_loop(0, n_k, body, (m, l, acc))
-    o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    l = jnp.maximum(l, 1e-30)
+    o_ref[...] = (acc / l).astype(o_ref.dtype)
+    # (block_q, 1) -> (block_q, LSE_LANES): lane broadcast, no transpose.
+    lse_ref[...] = jnp.broadcast_to(m + jnp.log(l), (block_q, LSE_LANES))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
-)
-def flash_attention_bhsd(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    block_q: int = 256,
-    block_k: int = 512,
-    interpret: bool = False,
-) -> jax.Array:
-    """q (G, Sq, D), k/v (G, Sk, D) with G = batch*heads -> (G, Sq, D)."""
+def _flash_forward(q, k, v, block_q, block_k, interpret):
     g, sq, d = q.shape
     sk = k.shape[1]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
     scale = d**-0.5
 
     grid = (g, pl.cdiv(sq, block_q))
-    kernel = functools.partial(
-        _flash_kernel, block_k=block_k, sk=sk, scale=scale
-    )
+    kernel = functools.partial(_fwd_kernel, block_k=block_k, sk=sk, scale=scale)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -131,10 +127,254 @@ def flash_attention_bhsd(
             pl.BlockSpec((None, sk, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, sk, d), lambda b, i: (b, 0, 0)),
         ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, LSE_LANES), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((g, sq, LSE_LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref,
+    *, block_k: int, sk: int, scale: float,
+):
+    """One (q-tile) program: dQ = scale * ds @ K, streaming K/V tiles.
+
+    ds = p * (dp - delta); p recomputed from the saved logsumexp.
+    """
+    q = q_ref[...].astype(jnp.float32)  # (bq, D)
+    o = o_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+    lse = lse_ref[..., :1]  # (bq, 1) — broadcasts along the key axis
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (bq, 1)
+
+    block_q = q.shape[0]
+    d = q.shape[1]
+    acc = jnp.zeros((block_q, d), jnp.float32)
+
+    n_k = pl.cdiv(sk, block_k)
+    divisible = sk % block_k == 0
+    single_tile = sk <= block_k
+
+    def body(i, acc):
+        if single_tile:
+            k = k_ref[...].astype(jnp.float32)
+            v = v_ref[...].astype(jnp.float32)
+            mask = None
+        elif divisible:
+            start = pl.multiple_of(i * block_k, block_k)
+            k = k_ref[pl.ds(start, block_k), :].astype(jnp.float32)
+            v = v_ref[pl.ds(start, block_k), :].astype(jnp.float32)
+            mask = None
+        else:
+            start = jnp.minimum(i * block_k, max(sk - block_k, 0))
+            k = k_ref[pl.ds(start, block_k), :].astype(jnp.float32)
+            v = v_ref[pl.ds(start, block_k), :].astype(jnp.float32)
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, k.shape[0]), 1)
+                + start
+            )
+            mask = jnp.logical_and(col >= i * block_k, col < sk)
+
+        # logits (bq, bk): NT matmul
+        logits = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(logits - lse)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        # dp (bq, bk): NT matmul
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        # acc += ds @ k: NN matmul
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    acc = jax.lax.fori_loop(0, n_k, body, acc)
+    dq_ref[...] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _dkdv_kernel(
+    q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dk_ref, dv_ref,
+    *, block_q: int, sq: int, scale: float,
+):
+    """One (k-tile) program: dK/dV for block_k keys, streaming Q tiles.
+
+    The k tile arrives via a blocked BlockSpec, so a ragged Sk tail is
+    padded on read and masked on write by Pallas itself; garbage in padded
+    k rows only ever lands in discarded dk/dv rows (p columns touch only
+    their own key's gradient row).
+    """
+    k = k_ref[...].astype(jnp.float32)  # (bk, D)
+    v = v_ref[...].astype(jnp.float32)
+    block_k = k.shape[0]
+    d = k.shape[1]
+
+    dk = jnp.zeros((block_k, d), jnp.float32)
+    dv = jnp.zeros((block_k, d), jnp.float32)
+
+    n_q = pl.cdiv(sq, block_q)
+    divisible = sq % block_q == 0
+    single_tile = sq <= block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        if single_tile:
+            q = q_ref[...].astype(jnp.float32)
+            o = o_ref[...].astype(jnp.float32)
+            do = do_ref[...].astype(jnp.float32)
+            lse = lse_ref[..., :1]
+            row_mask = None
+        elif divisible:
+            start = pl.multiple_of(i * block_q, block_q)
+            q = q_ref[pl.ds(start, block_q), :].astype(jnp.float32)
+            o = o_ref[pl.ds(start, block_q), :].astype(jnp.float32)
+            do = do_ref[pl.ds(start, block_q), :].astype(jnp.float32)
+            lse = lse_ref[pl.ds(start, block_q), :1]
+            row_mask = None
+        else:
+            start = jnp.minimum(i * block_q, max(sq - block_q, 0))
+            q = q_ref[pl.ds(start, block_q), :].astype(jnp.float32)
+            o = o_ref[pl.ds(start, block_q), :].astype(jnp.float32)
+            do = do_ref[pl.ds(start, block_q), :].astype(jnp.float32)
+            lse = lse_ref[pl.ds(start, block_q), :1]
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], block_k), 0)
+                + start
+            )
+            row_mask = jnp.logical_and(row >= i * block_q, row < sq)
+
+        # logits (bq, bk): NT matmul
+        logits = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(logits - lse)
+        if row_mask is not None:
+            p = jnp.where(row_mask, p, 0.0)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (bq, 1)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        # dv += p^T @ do, dk += ds^T @ q: TN matmuls
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(0, n_q, body, (dk, dv))
+    dk_ref[...] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, do, block_q, block_k, interpret):
+    g, sq, d = q.shape
+    sk = k.shape[1]
+    scale = d**-0.5
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, block_k=block_k, sk=sk, scale=scale),
+        grid=(g, pl.cdiv(sq, block_q)),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, sk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, sk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, LSE_LANES), lambda b, i: (b, i, 0)),
+        ],
         out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((g, sq, d), q.dtype),
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v, o, do, lse)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkdv_kernel, block_q=block_q, sq=sq, scale=scale),
+        grid=(g, pl.cdiv(sk, block_k)),
+        in_specs=[
+            pl.BlockSpec((None, sq, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((None, sq, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, sq, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, sq, LSE_LANES), lambda b, j: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((g, sk, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, o, do, lse)
+
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp plumbing
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_op(q, k, v, block_q, block_k, interpret):
+    o, _ = _flash_forward(q, k, v, block_q, block_k, interpret)
+    return o
+
+
+def _flash_op_fwd(q, k, v, block_q, block_k, interpret):
+    o, lse = _flash_forward(q, k, v, block_q, block_k, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_op_bwd(block_q, block_k, interpret, res, do):
+    q, k, v, o, lse = res
+    return _flash_backward(
+        q, k, v, o, lse, do.astype(q.dtype), block_q, block_k, interpret
+    )
+
+
+_flash_op.defvjp(_flash_op_fwd, _flash_op_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention_bhsd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """q (G, Sq, D), k/v (G, Sk, D) with G = batch*heads -> (G, Sq, D).
+
+    Differentiable: carries a flash backward pass (custom_vjp), so it is
+    safe inside the training losses (reference `training/src/train.py`
+    differentiates the student UNet through every attention layer).
+    """
+    sq = q.shape[1]
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    return _flash_op(q, k, v, block_q, block_k, interpret)
 
 
 def flash_attention(

@@ -55,3 +55,88 @@ def test_sk_not_divisible_by_block():
         q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
     )[:, :, 0, :]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# gradients (custom_vjp backward kernels)
+# ---------------------------------------------------------------------------
+
+
+def _grads(fn, q, k, v):
+    def loss(q, k, v):
+        out = fn(q, k, v)
+        # non-trivial cotangent: weight each element differently
+        w = jnp.arange(out.size, dtype=out.dtype).reshape(out.shape) / out.size
+        return jnp.sum(out * w)
+
+    return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+@pytest.mark.parametrize(
+    "sq,sk,h,d",
+    [
+        (512, 512, 2, 64),  # SDXL self-attention shape family (d=64)
+        (128, 77, 2, 64),   # SDXL cross-attention (ragged Sk=77)
+        (256, 256, 1, 40),  # SD1.5 head_dim
+    ],
+)
+def test_grad_matches_xla(sq, sk, h, d):
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(2, sq, h, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, sk, h, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, sk, h, d)) * 0.5, jnp.float32)
+
+    dq, dk, dv = _grads(lambda q, k, v: flash_attention(q, k, v, interpret=True), q, k, v)
+    rq, rk, rv = _grads(_ref, q, k, v)
+
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=2e-4, rtol=1e-3)
+
+
+def test_grad_ragged_both_axes():
+    """sq and sk both non-divisible by the block sizes: masking in the dq
+    streaming loop and Pallas' own ragged k-tile handling in dkdv."""
+    from invertible_cd_tpu.ops.flash_attention import flash_attention_bhsd
+
+    rng = np.random.default_rng(4)
+    g, sq, sk, d = 1, 200, 300, 32
+    q = jnp.asarray(rng.normal(size=(g, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(g, sk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(g, sk, d)), jnp.float32)
+
+    def fn(q, k, v):
+        return flash_attention_bhsd(q, k, v, block_q=128, block_k=128, interpret=True)
+
+    def ref(q, k, v):
+        return jax.nn.dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )[:, :, 0, :]
+
+    dq, dk, dv = _grads(fn, q, k, v)
+    rq, rk, rv = _grads(ref, q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=2e-4, rtol=1e-3)
+
+
+def test_grad_through_sdxl_shaped_attention():
+    """VERDICT item 2: jax.grad through an SDXL-shaped attention (d=64,
+    long sequence) on the kernel path must produce finite, correct grads."""
+    rng = np.random.default_rng(5)
+    b, sq, h, d = 1, 1024, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, sq, h, d)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, sq, h, d)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, sq, h, d)) * 0.3, jnp.bfloat16)
+
+    dq, dk, dv = _grads(lambda q, k, v: flash_attention(q, k, v, interpret=True), q, k, v)
+    rq, rk, rv = _grads(_ref, q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+
+    for got, want in [(dq, rq), (dk, rk), (dv, rv)]:
+        got = np.asarray(got, np.float32)
+        assert np.isfinite(got).all()
+        # bf16 storage: loose tolerance, but correlation must be ~1
+        want = np.asarray(want)
+        denom = np.linalg.norm(got) * np.linalg.norm(want)
+        cos = float((got * want).sum() / max(denom, 1e-30))
+        assert cos > 0.99, cos
