@@ -114,6 +114,8 @@ def parse_args(argv=None):
     p.add_argument("--reverse_lora", default=None)
     p.add_argument("--forward_lora", default=None)
     p.add_argument("--teacher_checkpoint", default=None)
+    p.add_argument("--vae_checkpoint", default=None)
+    p.add_argument("--text_checkpoint", default=None)
     p.add_argument("--calc_metrics", action="store_true")
     argv = apply_config_file(p, argv)
     return p.parse_args(argv)

@@ -83,6 +83,11 @@ def parse_args(argv=None):
     p.add_argument("--reverse_lora", default=None, help="kohya safetensors")
     p.add_argument("--forward_lora", default=None)
     p.add_argument("--teacher_checkpoint", default=None)
+    p.add_argument("--vae_checkpoint", default=None,
+                   help="diffusers AutoencoderKL state dict (.pt/.safetensors)")
+    p.add_argument("--text_checkpoint", default=None,
+                   help="transformers CLIPTextModel state dict(s); for SDXL pass "
+                        "'clip_l.safetensors,clip_bigg.safetensors'")
     p.add_argument("--calc_metrics", action="store_true")
     argv = apply_config_file(p, argv)
     return p.parse_args(argv)
@@ -113,26 +118,24 @@ def build_pipeline(args):
 
 def _load_weights(pipe, args):
     from invertible_cd_tpu.models.convert import (
-        convert_unet_from_diffusers, load_torch_file,
+        convert_clip_text_from_transformers, load_torch_file,
     )
-    from invertible_cd_tpu.models.lora import merge_lora
-    from invertible_cd_tpu.training.checkpoint import load_inference_lora
-    import jax.numpy as jnp
+    from invertible_cd_tpu.pipelines.loading import load_bundle_params
 
-    if args.teacher_checkpoint:
-        base = convert_unet_from_diffusers(load_torch_file(args.teacher_checkpoint))
-        base = jax.tree.map(jnp.asarray, base)
-        pipe.params["teacher"] = base
-        pipe.params["reverse"] = base
-        pipe.params["forward"] = base
-    for name, path in (("reverse", args.reverse_lora), ("forward", args.forward_lora)):
-        if path:
-            adapters, alphas = load_inference_lora(path)
-            alpha = next(iter(alphas.values()), 8.0)
-            rank = next(iter(adapters.values()))["down"].shape[-1]
-            inner = pipe.params["teacher"]["params"]
-            merged = merge_lora(inner, adapters, alpha=alpha, rank=rank)
-            pipe.params[name] = {"params": merged}
+    text = getattr(args, "text_checkpoint", None)
+    text_paths = text.split(",") if text else []
+    pipe.params = load_bundle_params(
+        teacher=args.teacher_checkpoint,
+        vae=getattr(args, "vae_checkpoint", None),
+        text=text_paths[0] if text_paths else None,
+        reverse_lora=args.reverse_lora,
+        forward_lora=args.forward_lora,
+        params=pipe.params,
+    )
+    if len(text_paths) > 1:  # SDXL: second (OpenCLIP-bigG) encoder
+        pipe.params["text_2"] = convert_clip_text_from_transformers(
+            load_torch_file(text_paths[1])
+        )
 
 
 def main(argv=None):

@@ -320,7 +320,7 @@ def convert_lora_from_kohya(state_dict: Dict) -> Tuple[Dict, Dict[str, float]]:
         path = _kohya_module_to_flax(module) + "/kernel"
         value = _np(value)
         if kind == "alpha":
-            alphas[path] = float(value)
+            alphas[path] = float(np.asarray(value).reshape(-1)[0])
             continue
         entry = adapters.setdefault(path, {})
         if kind == "lora_down":

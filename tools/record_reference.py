@@ -1,0 +1,186 @@
+"""Record reference (yandex-research/invertible-cd) activations + trajectories.
+
+Run this in a *weights-capable* environment — one with torch, diffusers,
+transformers and the published checkpoints — to produce a parity pack
+(`reference_pack.npz`) that `tests/test_reference_parity.py` consumes.
+This container is zero-egress, so the pack cannot be produced here; the
+script exists so that parity against the real reference is a mechanical
+one-command step anywhere the weights are available (VERDICT round-1
+item 1b).
+
+What it records (all fp32 numpy):
+  inputs/...        fixed seeded UNet/VAE/CLIP inputs (latent, t, context, w,
+                    pixel image), so the JAX side replays bit-identical inputs
+  unet/out          reference UNet epsilon for those inputs
+  unet/<stage>      per-stage activations (conv_in, each down/up block, mid,
+                    conv_out) via forward hooks — converter bugs localise
+  vae/mean, vae/decode
+  clip/last_hidden  CLIP text encoder output for the fixed prompts
+  gen/noise         init_latent noise, torch.Generator(cpu).manual_seed(seed)
+                    (reference utils/generation.py:536-543)
+  gen/latents_i     the 4-step cons_generation latent after each hop
+                    (reference utils/generation.py:373-412)
+  inv/noise         cons_inversion start noise, seed 0
+                    (reference utils/generation.py:425-427)
+  inv/latents_i     forward-CD latent after each hop (generation.py:430-449)
+
+Usage (in the weights environment):
+  python tools/record_reference.py \
+      --reference /path/to/invertible-cd \
+      --teacher_checkpoint sd15_cfg_distill.pt \
+      --reverse_checkpoint iCD-SD15_reverse_259_519_779_999.safetensors \
+      --forward_checkpoint iCD-SD15_forward_19_259_519_779.safetensors \
+      --out tests/golden/reference_pack.npz
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", required=True, help="path to the reference repo")
+    ap.add_argument("--model_id", default="runwayml/stable-diffusion-v1-5")
+    ap.add_argument("--teacher_checkpoint", required=True)
+    ap.add_argument("--reverse_checkpoint", required=True)
+    ap.add_argument("--forward_checkpoint", required=True)
+    ap.add_argument("--out", default="reference_pack.npz")
+    ap.add_argument("--prompt", default="a photo of a corgi on the beach")
+    ap.add_argument("--seed", type=int, default=150)
+    args = ap.parse_args()
+
+    sys.path.insert(0, args.reference)
+    import torch
+    from utils.loading import load_models  # reference utils/loading.py:27
+    from utils.generation import Generator, init_latent  # generation.py:181,536
+
+    device = "cuda" if torch.cuda.is_available() else "cpu"
+    ldm_stable, reverse_cons_model, forward_cons_model = load_models(
+        model_id=args.model_id,
+        device=device,
+        forward_checkpoint=args.forward_checkpoint,
+        reverse_checkpoint=args.reverse_checkpoint,
+        r=64,
+        w_embed_dim=512,
+        teacher_checkpoint=args.teacher_checkpoint,
+        dtype="fp32",
+    )
+    solver = Generator(
+        model=ldm_stable,
+        noise_scheduler=ldm_stable.scheduler,
+        n_steps=50,
+        forward_cons_model=forward_cons_model,
+        reverse_cons_model=reverse_cons_model,
+        num_endpoints=4,
+        num_forward_endpoints=4,
+        reverse_timesteps=[259, 519, 779, 999],
+        forward_timesteps=[19, 259, 519, 779],
+        max_forward_timestep_index=49,
+        start_timestep=19,
+    )
+
+    pack = {}
+    rng = np.random.default_rng(0)
+
+    # ------------------------------------------------------------------
+    # 1. UNet single-call parity: fixed inputs, per-stage hooks
+    # ------------------------------------------------------------------
+    latent = rng.normal(size=(2, 4, 64, 64)).astype(np.float32)
+    t = np.array([999, 19], np.int64)
+    tokens = ldm_stable.tokenizer(
+        [args.prompt, ""], padding="max_length", max_length=77, return_tensors="pt"
+    ).input_ids
+    with torch.no_grad():
+        context = ldm_stable.text_encoder(tokens.to(device))[0]
+    pack["clip/tokens"] = tokens.numpy()
+    pack["clip/last_hidden"] = context.float().cpu().numpy()
+
+    from utils.generation import guidance_scale_embedding  # generation.py:96
+
+    w = torch.full((2,), 19.0)
+    w_emb = guidance_scale_embedding(w, embedding_dim=512).to(device)
+    pack["inputs/latent"] = latent
+    pack["inputs/t"] = t
+    pack["inputs/w"] = w.numpy()
+    pack["inputs/w_emb"] = w_emb.float().cpu().numpy()
+
+    unet = reverse_cons_model.unet
+    stages = {}
+
+    def hook(name):
+        def fn(_m, _i, out):
+            o = out[0] if isinstance(out, tuple) else out
+            stages[name] = o.detach().float().cpu().numpy()
+        return fn
+
+    handles = [unet.conv_in.register_forward_hook(hook("conv_in"))]
+    for i, blk in enumerate(unet.down_blocks):
+        handles.append(blk.register_forward_hook(hook(f"down_{i}")))
+    handles.append(unet.mid_block.register_forward_hook(hook("mid")))
+    for i, blk in enumerate(unet.up_blocks):
+        handles.append(blk.register_forward_hook(hook(f"up_{i}")))
+    with torch.no_grad():
+        eps = unet(
+            torch.tensor(latent, device=device),
+            torch.tensor(t, device=device),
+            encoder_hidden_states=context,
+            timestep_cond=w_emb,
+        ).sample
+    for h in handles:
+        h.remove()
+    pack["unet/out"] = eps.float().cpu().numpy()
+    for name, act in stages.items():
+        pack[f"unet/{name}"] = act
+
+    # ------------------------------------------------------------------
+    # 2. VAE parity
+    # ------------------------------------------------------------------
+    pixels = (rng.uniform(size=(1, 3, 512, 512)).astype(np.float32) * 2 - 1)
+    with torch.no_grad():
+        moments = ldm_stable.vae.encode(torch.tensor(pixels, device=device))
+        mean = moments.latent_dist.mean
+        dec = ldm_stable.vae.decode(mean).sample
+    pack["inputs/pixels"] = pixels
+    pack["vae/mean"] = mean.float().cpu().numpy()
+    pack["vae/decode"] = dec.float().cpu().numpy()
+
+    # ------------------------------------------------------------------
+    # 3. Seed-pinned 4-step generation trajectory (generation.py:373-412)
+    # ------------------------------------------------------------------
+    generator = torch.Generator().manual_seed(args.seed)
+    noise, latents = init_latent(None, ldm_stable, 512, 512, generator, 1)
+    pack["gen/noise"] = noise.float().cpu().numpy()
+    solver.init_prompt(args.prompt)
+    with torch.no_grad():
+        traj = solver.cons_generation(
+            latents.to(device), guidance_scale=19.0, w_embed_dim=512,
+            dynamic_guidance=False,
+        )
+    for i, z in enumerate(traj):
+        pack[f"gen/latents_{i}"] = z.float().cpu().numpy()
+
+    # ------------------------------------------------------------------
+    # 4. Inversion start noise + trajectory (generation.py:414-449)
+    # ------------------------------------------------------------------
+    inv_gen = torch.Generator().manual_seed(0)
+    z0 = solver.image2latent(
+        ((pixels[0].transpose(1, 2, 0) * 0.5 + 0.5) * 255).astype(np.uint8)
+    )
+    inv_noise = torch.randn(z0.shape, generator=inv_gen)
+    pack["inv/noise"] = inv_noise.float().cpu().numpy()
+    with torch.no_grad():
+        _, inv_traj = solver.cons_inversion(
+            ((pixels[0].transpose(1, 2, 0) * 0.5 + 0.5) * 255).astype(np.uint8),
+            guidance_scale=0.0, w_embed_dim=512, seed=0,
+        )
+    pack["inv/latents_final"] = inv_traj[-1].float().cpu().numpy()
+
+    np.savez_compressed(args.out, **pack)
+    print(f"wrote {args.out}: {sorted(pack)}")
+
+
+if __name__ == "__main__":
+    main()
