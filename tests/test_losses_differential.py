@@ -88,11 +88,11 @@ def test_schedule_and_solver_tables_match(env):
     )
     np.testing.assert_allclose(
         np.asarray(solver.ddim_alpha_cumprods_prev),
-        tsolver.ddim_alpha_cumprods_prev.numpy(), atol=1e-7,
+        tsolver.ddim_alpha_cumprods_prev.numpy(), atol=2e-6,
     )
     np.testing.assert_allclose(
         np.asarray(solver.ddim_alpha_cumprods_next),
-        tsolver.ddim_alpha_cumprods_next.numpy(), atol=1e-7,
+        tsolver.ddim_alpha_cumprods_next.numpy(), atol=2e-6,
     )
 
 
