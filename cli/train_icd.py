@@ -108,6 +108,17 @@ def parse_args(argv=None):
                    help="pt_inception-2015-12-05 torch state dict")
     p.add_argument("--resume_from_checkpoint", default=None,
                    help='"latest" or a step number')
+    p.add_argument("--vae_checkpoint", default=None,
+                   help="diffusers AutoencoderKL state dict for the data "
+                        "encoder / validation decoder")
+    p.add_argument("--text_checkpoint", default=None,
+                   help="transformers CLIPTextModel state dict(s); for SDXL "
+                        "pass 'clip_l.safetensors,clip_bigg.safetensors'")
+    p.add_argument("--validation_prompts_max", type=int, default=13,
+                   help="how many of the 13 reference validation prompts to "
+                        "render each validation step")
+    p.add_argument("--validation_batch", type=int, default=4)
+    p.add_argument("--validation_guidance", type=float, default=7.0)
     p.add_argument("--platform", default=None, help="cpu|tpu backend override (cpu needed for smoke tests in tunneled-TPU containers)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fsdp", type=int, default=1)
@@ -161,7 +172,48 @@ def build_models(args):
     return unet, cfg, base, latent
 
 
-def batch_iterator(args, cfg, latent_size):
+def build_encoder_pipe(args, base=None):
+    """Text/VAE encoder-decoder pipeline matching --model, used for the
+    real-data path (VAE+CLIP encoding, reference
+    `train_icd_sd15_lora.py:874-879` / `train_icd_xl_lora.py:822-861`),
+    validation image panels and FID eval. `base` (the training base UNet
+    params) becomes the pipe's teacher so the live LoRA can be merged in."""
+    if args.model == "tiny":
+        from invertible_cd_tpu.testing import tiny_bundle
+
+        pipe = tiny_bundle()
+    else:
+        from invertible_cd_tpu.models.convert import (
+            convert_clip_text_from_transformers, load_torch_file,
+        )
+        from invertible_cd_tpu.pipelines.loading import load_bundle_params
+
+        lat = (args.resolution // 8,) * 2
+        if args.model == "sdxl":
+            from invertible_cd_tpu.pipelines.sdxl import InvertibleCDXL
+
+            pipe = InvertibleCDXL.sdxl(latent_size=lat)
+            pipe.default_resolution = args.resolution
+        else:
+            from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
+
+            pipe = InvertibleCD.sd15(latent_size=lat)
+        text_paths = args.text_checkpoint.split(",") if args.text_checkpoint else []
+        pipe.params = load_bundle_params(
+            vae=args.vae_checkpoint,
+            text=text_paths[0] if text_paths else None,
+            params=pipe.params,
+        )
+        if len(text_paths) > 1:
+            pipe.params["text_2"] = convert_clip_text_from_transformers(
+                load_torch_file(text_paths[1])
+            )
+    if base is not None:
+        pipe.params["teacher"] = base
+    return pipe
+
+
+def batch_iterator(args, cfg, latent_size, pipe=None):
     if args.synthetic_data or args.data_root is None:
         def synth():
             i = 0
@@ -192,91 +244,119 @@ def batch_iterator(args, cfg, latent_size):
                 i += 1
         return synth()
 
-    # Real data: pixels -> VAE latents + CLIP context per batch.
+    # Real data: pixels -> VAE latents + text context per batch.
     from invertible_cd_tpu.data import ImageCaptionDataset, make_train_iterator
-    from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
 
-    pipe = InvertibleCD.sd15()  # text+vae encoders (converted ckpts advised)
+    assert pipe is not None, "real-data training needs the encoder pipe"
+    is_sdxl = args.model == "sdxl"
     ds = ImageCaptionDataset(args.data_root, args.data_subset, args.resolution)
     raw = make_train_iterator(
         ds, args.batch_size, rank=jax.process_index(),
         num_replicas=jax.process_count(), seed=args.seed,
     )
     encode_img = jax.jit(lambda p, x: pipe._encode_image(p, x))
+    # VAE encode chunk: 32 for SD1.5, 4 for SDXL (reference
+    # train_icd_sd15_lora.py:874-877 / train_icd_xl_lora.py VAE chunking)
+    chunk = 4 if is_sdxl else 32
 
     def real():
+        r = float(args.resolution)
         for imgs, caps in raw:
-            # VAE encode in chunks of <=32 (reference
-            # train_icd_sd15_lora.py:874-877)
             lat = []
-            for i in range(0, len(imgs), 32):
-                lat.append(encode_img(pipe.params["vae"], jnp.asarray(imgs[i:i + 32])))
-            _, ctx = pipe.encode_prompt(list(caps))
-            yield {"latents": jnp.concatenate(lat), "context": ctx}
+            for i in range(0, len(imgs), chunk):
+                lat.append(encode_img(pipe.params["vae"], jnp.asarray(imgs[i:i + chunk])))
+            batch = {"latents": jnp.concatenate(lat)}
+            if is_sdxl:
+                # dual-encoder context + pooled embeds + time_ids per batch
+                # (reference train_icd_xl_lora.py:822-861)
+                ctx, pooled = pipe.encode_prompt_xl(list(caps))
+                batch["context"] = ctx
+                batch["added_cond"] = {
+                    "text_embeds": pooled,
+                    "time_ids": pipe.add_time_ids(
+                        len(caps), original_size=(r, r), target_size=(r, r)
+                    ),
+                }
+            else:
+                _, ctx = pipe.encode_prompt(list(caps))
+                batch["context"] = ctx
+            yield batch
     return real()
 
 
-def log_validation(logger, unet, cfg, base, state, tcfg, solver, schedule,
-                   latent_size, step):
-    """Fixed-seed sample grid from the current reverse student (the
-    reference's tensorboard validation panels, reference
-    training/src/reverse_eval.py:129-173). Logs raw latent previews when no
-    VAE is attached (synthetic-data smoke runs)."""
+# The reference's fixed validation prompt list
+# (training/src/reverse_eval.py:129-143), logged as tensorboard panels.
+VALIDATION_PROMPTS = [
+    "portrait photo of a girl, photograph, highly detailed face, depth of "
+    "field, moody light, golden hour, style by Dan Winters, Russell James, "
+    "Steve McCurry, centered, extremely detailed, Nikon D850, award winning "
+    "photography",
+    "Self-portrait oil painting, a beautiful cyborg with golden hair, 8k",
+    "Astronaut in a jungle, cold color palette, muted colors, detailed, 8k",
+    "A photo of beautiful mountain with realistic sunset and blue lake, "
+    "highly detailed, masterpiece",
+    "A sad puppy with large eyes",
+    "A girl with pale blue hair and a cami tank top",
+    "cute girl, Kyoto animation, 4k, high resolution",
+    "A person laying on a surfboard holding his dog",
+    "Green commercial building with refrigerator and refrigeration units "
+    "outside",
+    "An airplane with two propellor engines flying in the sky",
+    "Four cows in a pen on a sunny day",
+    "Three dogs sleeping together on an unmade bed",
+    "a deer with bird feathers, highly detailed, full body",
+]
+
+
+def log_validation(logger, pipe, base, state, tcfg, solver, step, args):
+    """Prompt-conditioned, VAE-decoded validation panels from the live
+    reverse student (reference `log_validation`,
+    training/src/reverse_eval.py:129-173): the 13 fixed prompts, rendered
+    at the training endpoint grid, logged as image grids."""
     from invertible_cd_tpu.models.lora import merge_lora
-    from invertible_cd_tpu.pipelines import sampler as S
     from invertible_cd_tpu.training.eval import grid_from_train_solver
 
     inner = base["params"] if "params" in base else base
-    merged = {"params": merge_lora(
-        inner, jax.device_get(state.lora_reverse),
-        alpha=tcfg.lora_alpha, rank=tcfg.lora_rank,
-    )} if "params" in base else merge_lora(
+    merged = merge_lora(
         inner, jax.device_get(state.lora_reverse),
         alpha=tcfg.lora_alpha, rank=tcfg.lora_rank,
     )
-    grid = grid_from_train_solver(solver)
-    b = 4
-    key = jax.random.PRNGKey(42)
-    latent = jax.random.normal(key, (b, latent_size, latent_size, 4))
-    ctx = jnp.zeros((b, 77, cfg.cross_attention_dim))
-    g = S.GuidanceConfig(
-        guidance_scale=7.0, w_embed_dim=cfg.time_cond_proj_dim or 0
-    )
+    old_reverse = pipe.params.get("reverse")
+    old_grid = pipe.grid
+    pipe.params["reverse"] = {"params": merged} if "params" in base else merged
+    pipe.grid = grid_from_train_solver(solver)
+    # compiled programs capture the grid at build time — invalidate them
+    pipe._jit_cache.clear()
+    g = pipe.default_guidance(guidance_scale=args.validation_guidance)
+    try:
+        for prompt in VALIDATION_PROMPTS[: args.validation_prompts_max]:
+            imgs, _ = pipe.generate(
+                [prompt] * args.validation_batch,
+                key=jax.random.PRNGKey(42), guidance=g,
+            )
+            logger.log_images(
+                step, f"validation/{prompt[:48]}", np.asarray(imgs)
+            )
+        logger.log(step, {"validation_image_std": float(np.std(np.asarray(imgs)))})
+    finally:
+        if old_reverse is not None:
+            pipe.params["reverse"] = old_reverse
+        pipe.grid = old_grid
+        pipe._jit_cache.clear()
 
-    fast_apply = jax.jit(
-        lambda p, x, tt, c, w: unet.apply(p, x, tt, c, w_cond=w)
-    )
 
-    def nm(x, t, c, w, hook):
-        return fast_apply(merged, x, jnp.full((x.shape[0],), t, jnp.int32), c, w)
-
-    out = S.cons_generation(nm, latent, ctx, ctx, grid, schedule, g)
-    # latent-space preview (proper pixels need the VAE; the full pipeline
-    # path is exercised by cli/generate.py)
-    preview = np.asarray(out[..., :3])
-    preview = (preview - preview.min()) / max(float(np.ptp(preview)), 1e-6)
-    logger.log_images(step, "validation/latents", preview)
-    logger.log(step, {"validation_latent_std": float(np.std(np.asarray(out)))})
-
-
-def run_fid_eval(args, state):
+def run_fid_eval(args, state, pipe):
     """FID of the live reverse student against reference statistics
     (reference trainer cadence, train_icd_sd15_lora.py:1063-1082)."""
     from invertible_cd_tpu.data import load_benchmark
     from invertible_cd_tpu.metrics import FIDScorer
-    from invertible_cd_tpu.metrics.inception import InceptionV3Features
     from invertible_cd_tpu.models.convert import (
         convert_inception_weights, load_torch_file,
     )
-    from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
-    from invertible_cd_tpu.pipelines.sdxl import InvertibleCDXL
     from invertible_cd_tpu.training.eval import fid_of_student
 
     variables = convert_inception_weights(load_torch_file(args.inception_weights))
     scorer = FIDScorer(variables)
-    pipe = (
-        InvertibleCDXL.sdxl() if args.model == "sdxl" else InvertibleCD.sd15()
-    )
     prompts = load_benchmark(args.fid_prompts, kind="generation",
                              max_count=args.fid_num_samples)
     return fid_of_student(
@@ -350,7 +430,21 @@ def main(argv=None):
                 )
                 print(f"resumed from step {int(state.step)}")
         step_fn = make_train_step(unet, base, base, solver, schedule, tcfg, mesh)
-        data = batch_iterator(args, cfg, latent_size)
+
+        # Encoder/decoder pipeline (text+VAE) for real data, validation
+        # panels and FID — built lazily; synthetic smoke runs that never hit
+        # a validation/eval step don't pay for it.
+        _pipe_cache = {}
+
+        def encoder_pipe():
+            if "pipe" not in _pipe_cache:
+                _pipe_cache["pipe"] = build_encoder_pipe(args, base=base)
+            return _pipe_cache["pipe"]
+
+        needs_data_pipe = not (args.synthetic_data or args.data_root is None)
+        data = batch_iterator(
+            args, cfg, latent_size, pipe=encoder_pipe() if needs_data_pipe else None
+        )
 
         t0 = time.time()
         start = int(state.step)
@@ -371,13 +465,13 @@ def main(argv=None):
                 and (i + 1) % args.evaluation_steps == 0
                 and args.fid_stats and args.fid_prompts and args.inception_weights
             ):
-                fid = run_fid_eval(args, state)
+                fid = run_fid_eval(args, state, encoder_pipe())
                 logger.log(i + 1, {"fid": fid}, prefix="eval/")
                 print(f"step {i + 1}: FID = {fid:.3f}")
-            if (i + 1) % args.validation_steps == 0:
+            if args.validation_steps and (i + 1) % args.validation_steps == 0:
                 log_validation(
-                    logger, unet, cfg, base, state, tcfg, solver, schedule,
-                    latent_size, i + 1,
+                    logger, encoder_pipe(), base, state, tcfg, solver,
+                    i + 1, args,
                 )
             if (i + 1) % args.checkpointing_steps == 0 or i + 1 == args.max_steps:
                 save_checkpoint(ckpt_dir, state, keep=args.checkpoints_total_limit)

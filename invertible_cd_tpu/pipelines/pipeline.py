@@ -157,12 +157,24 @@ class InvertibleCD:
             added_b = None
             if added:
                 # Broadcast SDXL added conditioning to the (possibly
-                # CFG-doubled) batch.
+                # CFG-doubled) batch. The CFG batch order is [uncond, cond]
+                # (sampler.predict_noise); the reference zeroes the uncond
+                # pooled embeds (`train_icd_xl_lora.py:900-903` and SDXL's
+                # force_zeros_for_empty_prompt), so the uncond half gets
+                # zero text_embeds, not a copy of the cond ones.
                 rep = b // added["text_embeds"].shape[0]
-                added_b = {
-                    k: jnp.concatenate([v] * rep, axis=0) if rep > 1 else v
-                    for k, v in added.items()
-                }
+                if rep > 1:
+                    te = added["text_embeds"]
+                    added_b = {
+                        "text_embeds": jnp.concatenate(
+                            [jnp.zeros_like(te)] * (rep - 1) + [te], axis=0
+                        ),
+                        "time_ids": jnp.concatenate(
+                            [added["time_ids"]] * rep, axis=0
+                        ),
+                    }
+                else:
+                    added_b = added
             return self.unet.apply(
                 params, latent, jnp.full((b,), t, jnp.int32), context,
                 w_cond=w_emb, added_cond=added_b, attn_hook=hook,
@@ -179,14 +191,18 @@ class InvertibleCD:
         mean = self.vae.apply(params, pixels, method=AutoencoderKL.encode_mean)
         return mean.astype(jnp.float32) * self.scaling_factor
 
-    def _build_cons_generate(self, g: S.GuidanceConfig, spec: Optional[ControllerSpec]):
-        def run(unet_params, vae_params, latent, ctx_u, ctx_c, arrays, added):
+    def _build_cons_generate(
+        self, g: S.GuidanceConfig, spec: Optional[ControllerSpec],
+        has_amplify: bool = False,
+    ):
+        def run(unet_params, vae_params, latent, ctx_u, ctx_c, ctx_amp, arrays, added):
             rt = ControllerRuntime(spec, arrays) if spec is not None else None
             latent = S.cons_generation(
                 self._noise_model(unet_params, added), latent, ctx_u, ctx_c,
                 self.grid, self.schedule, g,
                 hook_factory=rt.hook_factory if rt else None,
                 step_callback=rt.step_callback if rt else None,
+                context_amplify=ctx_amp if has_amplify else None,
             )
             # store_all specs surface the recorded attention maps as a jit
             # output (trace-time-collected tracers become real arrays).
@@ -247,9 +263,14 @@ class InvertibleCD:
         guidance: Optional[S.GuidanceConfig] = None,
         controller: Optional[Tuple[ControllerSpec, ControllerArrays]] = None,
         model: str = "reverse",
+        amplify_prompt: Optional[Sequence[str]] = None,
     ):
         """Few-step consistency generation (reference `runner` with
         `is_cons_forward=True`, `utils/generation.py:12-66`).
+
+        `amplify_prompt` (SDXL editing protocol, reference
+        `generation_sdxl.py:426-442`): the prompt(s) whose context replaces
+        the main prompts' while `t > tau1 * 1000` under dynamic guidance.
 
         Returns (images float32 [0,1] NHWC, final latents).
         """
@@ -257,15 +278,23 @@ class InvertibleCD:
             prompts = [prompts]
         g = guidance or self.default_guidance()
         ctx_u, ctx_c, added = self._encode_all(prompts)
+        ctx_amp = ctx_c
+        if amplify_prompt is not None:
+            if isinstance(amplify_prompt, str):
+                amplify_prompt = [amplify_prompt]
+            amplify_prompt = list(amplify_prompt)
+            if len(amplify_prompt) == 1 and len(prompts) > 1:
+                amplify_prompt = amplify_prompt * len(prompts)
+            _, ctx_amp, _ = self._encode_all(amplify_prompt)
         if latent is None:
             latent = self.init_latent((key if key is not None else jax.random.PRNGKey(0)), len(prompts))
         spec, arrays = controller if controller else (None, None)
         if spec is None:
             arrays = empty_arrays(self.grid.num_reverse_steps, len(prompts))
-        fn = self._get_jit("cons_generate", g, spec)
+        fn = self._get_jit("cons_generate", g, spec, amplify_prompt is not None)
         images, latents, store = fn(
-            self.params[model], self.params["vae"], latent, ctx_u, ctx_c, arrays,
-            added,
+            self.params[model], self.params["vae"], latent, ctx_u, ctx_c, ctx_amp,
+            arrays, added,
         )
         if spec is not None and spec.store_all:
             return images, latents, store

@@ -152,19 +152,33 @@ def cons_generation(
     g: GuidanceConfig,
     hook_factory: Optional[AttnHookFactory] = None,
     step_callback: Optional[StepCallback] = None,
+    context_amplify: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Multi-boundary reverse CD: noise -> image in 3-4 hops
     (reference `Generator.cons_generation`, `utils/generation.py:373-412`).
 
     The (t, s) pairs come from `grid` (static), so this unrolls into a
     single fused XLA program — 4 UNet calls, no host round-trips.
+
+    `context_amplify` is the SDXL editing prompt swap (reference
+    `generation_sdxl.py:426-442` / `running/sdxl/edit.py:232`): while
+    `t > tau1 * 1000` under dynamic guidance, the model sees the
+    *source*-prompt context instead of the target's, so early hops
+    reconstruct and later hops steer. The grid is static, so the swap
+    folds at trace time — no runtime branch.
     """
     for i, (t, s) in enumerate(
         zip(grid.reverse_timesteps.tolist(), grid.reverse_boundaries.tolist())
     ):
         hook = hook_factory(i) if hook_factory is not None else None
+        use_amplify = (
+            context_amplify is not None
+            and g.dynamic_guidance
+            and t > g.tau1 * 1000
+        )
+        ctx_c = context_amplify if use_amplify else context_cond
         eps = predict_noise(
-            noise_model, latent, t, context_uncond, context_cond, g, hook
+            noise_model, latent, t, context_uncond, ctx_c, g, hook
         )
         latent = predicted_origin(
             eps,

@@ -140,7 +140,10 @@ class InvertibleCDXL(InvertibleCD):
 
     def _encode_all(self, prompts: Sequence[str]):
         ctx_c, pooled_c = self.encode_prompt_xl(prompts)
-        ctx_u, _ = self.encode_prompt_xl([""] * len(prompts))
+        # SDXL zeroes the uncond context instead of encoding "" (diffusers
+        # force_zeros_for_empty_prompt; reference trains with
+        # zeros(B,77,2048) uncond embeds, `train_icd_xl_lora.py:900-903`).
+        ctx_u = jnp.zeros_like(ctx_c)
         added = {
             "text_embeds": pooled_c,
             "time_ids": self.add_time_ids(len(prompts)),

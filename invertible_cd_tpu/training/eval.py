@@ -129,11 +129,21 @@ def eval_inversion(
     reconstruct_fn: Callable,
     val_latents: jax.Array,
     batch_size: int = 8,
+    decode_fn: Optional[Callable] = None,
+    scorer=None,
+    reference_images=None,
+    reference_stats_path: Optional[str] = None,
 ) -> Dict[str, float]:
-    """Forward->reverse round trip recon-MSE in latent space (C26
-    `eval_inversion`, forward_eval.py:259-342). `invert_fn(latents, key)
-    -> noise latents`; `reconstruct_fn(noise_latents, key) -> latents`."""
+    """Forward->reverse round trip over a val set (C26 `eval_inversion`,
+    forward_eval.py:259-342): latent recon-MSE, plus — when `decode_fn`
+    (latents -> float [0,1] images) and a FID `scorer` are given — the FID
+    of the decoded reconstructions against reference stats/images
+    (reference `fid_score_cm`, forward_eval.py:296-341).
+
+    `invert_fn(latents, key) -> noise latents`;
+    `reconstruct_fn(noise_latents, key) -> latents`."""
     mses = []
+    recon_images = []
     for i in range(0, val_latents.shape[0], batch_size):
         chunk = val_latents[i : i + batch_size]
         key = jax.random.PRNGKey(i)
@@ -142,7 +152,26 @@ def eval_inversion(
         mses.append(
             np.mean((np.asarray(rec) - np.asarray(chunk)) ** 2, axis=(1, 2, 3))
         )
-    return {"inversion_latent_mse": float(np.mean(np.concatenate(mses)))}
+        if decode_fn is not None and scorer is not None:
+            imgs = np.asarray(decode_fn(rec))
+            recon_images.extend(
+                list((np.clip(imgs, 0, 1) * 255).astype(np.uint8))
+            )
+    out = {"inversion_latent_mse": float(np.mean(np.concatenate(mses)))}
+    if recon_images:
+        if jax.process_count() > 1:  # pragma: no cover - multihost only
+            from jax.experimental import multihost_utils
+
+            stacked = multihost_utils.process_allgather(np.stack(recon_images))
+            recon_images = list(stacked.reshape((-1,) + stacked.shape[2:]))
+        out["inversion_fid"] = float(
+            scorer.fid(
+                recon_images,
+                reference_images=reference_images,
+                reference_stats_path=reference_stats_path,
+            )
+        )
+    return out
 
 
 def fid_of_student(

@@ -117,6 +117,33 @@ class TestTrainingEval:
         out = eval_inversion(invert, reconstruct, lat, batch_size=2)
         assert np.isfinite(out["inversion_latent_mse"])
 
+    def test_eval_inversion_recon_fid(self, pipe):
+        """Recon-FID of the round trip (reference `fid_score_cm`,
+        forward_eval.py:296-341): decoded reconstructions scored against
+        reference images."""
+        from invertible_cd_tpu.metrics import FIDScorer
+
+        def invert(lat, key):
+            return lat + 0.01 * jax.random.normal(key, lat.shape)
+
+        def reconstruct(lat, key):
+            return lat
+
+        def decode(lat):
+            return pipe._decode_latents(pipe.params["vae"], lat)
+
+        scorer = FIDScorer.random_init()
+        lat = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 4))
+        ref_imgs = list(
+            np.random.default_rng(0).integers(0, 255, (4, 32, 32, 3), np.uint8)
+        )
+        out = eval_inversion(
+            invert, reconstruct, lat, batch_size=2,
+            decode_fn=decode, scorer=scorer, reference_images=ref_imgs,
+        )
+        assert np.isfinite(out["inversion_latent_mse"])
+        assert "inversion_fid" in out and np.isfinite(out["inversion_fid"])
+
 
 class TestFidOfStudent:
     def test_fid_eval_pipeline(self, pipe, tmp_path):

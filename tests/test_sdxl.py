@@ -41,3 +41,73 @@ class TestSDXL:
         np.testing.assert_array_equal(
             np.asarray(ids), [[32, 32, 0, 0, 32, 32]] * 2
         )
+
+    def test_uncond_context_is_zeros(self, pipe):
+        """SDXL zeroes the uncond context (force_zeros_for_empty_prompt;
+        reference train_icd_xl_lora.py:900-903)."""
+        ctx_u, ctx_c, _ = pipe._encode_all(["a cat"])
+        assert np.all(np.asarray(ctx_u) == 0)
+        assert not np.all(np.asarray(ctx_c) == 0)
+
+
+class TestAmplifyPrompt:
+    """SDXL editing prompt swap (reference generation_sdxl.py:426-442)."""
+
+    def test_swap_schedule(self):
+        """With dynamic guidance and tau1, steps with t > tau1*1000 must see
+        the amplify context; the rest the target context. Pin against the
+        [999, 779, 519, 259] grid."""
+        import jax.numpy as jnp
+
+        from invertible_cd_tpu.diffusion.schedule import make_schedule
+        from invertible_cd_tpu.diffusion.solver import make_solver_grid
+        from invertible_cd_tpu.pipelines import sampler as S
+
+        grid = make_solver_grid(
+            reverse_timesteps=[259, 519, 779, 999],
+            forward_timesteps=[19, 259, 519, 779],
+        )
+        schedule = make_schedule()
+        g = S.GuidanceConfig(
+            guidance_scale=8.0, w_embed_dim=8, dynamic_guidance=True,
+            tau1=0.7, tau2=0.7,
+        )
+        ctx_target = jnp.full((1, 7, 4), 1.0)
+        ctx_amp = jnp.full((1, 7, 4), 2.0)
+        seen = []
+
+        def noise_model(latent, t, context, w_emb, hook):
+            seen.append((t, float(context[0, 0, 0])))
+            return jnp.zeros_like(latent)
+
+        S.cons_generation(
+            noise_model, jnp.zeros((1, 4, 4, 4)), ctx_target, ctx_target,
+            grid, schedule, g, context_amplify=ctx_amp,
+        )
+        # reverse grid is [999, 779, 519, 259]; t > 700 -> amplify
+        assert [t for t, _ in seen] == [999, 779, 519, 259]
+        assert [v for _, v in seen] == [2.0, 2.0, 1.0, 1.0]
+
+    def test_pipeline_amplify_changes_output(self, pipe):
+        g = pipe.default_guidance(
+            guidance_scale=8.0, dynamic_guidance=True, tau1=0.7, tau2=0.7
+        )
+        key = jax.random.PRNGKey(3)
+        base, _ = pipe.generate(["a dog"], key=key, guidance=g)
+        amp, _ = pipe.generate(
+            ["a dog"], key=key, guidance=g, amplify_prompt=["a cat"]
+        )
+        assert not np.array_equal(np.asarray(base), np.asarray(amp))
+
+    def test_amplify_inactive_when_tau_covers_grid(self, pipe):
+        """tau1 = 1.0 -> no step satisfies t > 1000; amplify must be a
+        no-op (program output identical to the plain run)."""
+        g = pipe.default_guidance(
+            guidance_scale=8.0, dynamic_guidance=True, tau1=1.0, tau2=1.0
+        )
+        key = jax.random.PRNGKey(4)
+        base, _ = pipe.generate(["a dog"], key=key, guidance=g)
+        amp, _ = pipe.generate(
+            ["a dog"], key=key, guidance=g, amplify_prompt=["a cat"]
+        )
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(amp))
