@@ -126,18 +126,22 @@ class BlipTextEncoder(nn.Module):
 
 
 class RewardHead(nn.Module):
+    """768 -> 1024 -> 128 -> 64 -> 16 -> 1 reward MLP.
+
+    NOTE: the published ImageReward-v1.0 MLP has its ReLU activations
+    commented out upstream (ImageReward/models/ImageReward.py `MLP` — only
+    Dropout sits between the Linears), so at inference it is a chain of
+    plain linear layers. We reproduce that exactly; adding activations here
+    would silently break weight parity."""
+
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat):
         h = nn.Dense(1024, dtype=self.dtype, name="fc1")(feat)
-        h = nn.gelu(h, approximate=False)
         h = nn.Dense(128, dtype=self.dtype, name="fc2")(h)
-        h = nn.gelu(h, approximate=False)
         h = nn.Dense(64, dtype=self.dtype, name="fc3")(h)
-        h = nn.gelu(h, approximate=False)
         h = nn.Dense(16, dtype=self.dtype, name="fc4")(h)
-        h = nn.gelu(h, approximate=False)
         return nn.Dense(1, dtype=self.dtype, name="fc5")(h)[..., 0]
 
 
@@ -198,7 +202,7 @@ class PatchSequenceViT(nn.Module):
         x = x + pos[None, : x.shape[1]].astype(self.dtype)
         for i in range(c.num_layers):
             x = ViTBlock(c, dtype=self.dtype, name=f"blocks_{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="post_layernorm")(x)
+        x = nn.LayerNorm(epsilon=c.norm_eps, dtype=self.dtype, name="post_layernorm")(x)
         return x.astype(jnp.float32)
 
 

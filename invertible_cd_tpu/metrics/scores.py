@@ -232,6 +232,8 @@ def evaluators_from_weights(
     dino_path: Optional[str] = None,
     vgg_path: Optional[str] = None,
     lpips_heads_path: Optional[str] = None,
+    image_reward_path: Optional[str] = None,
+    bert_vocab_path: Optional[str] = None,
     tokenizer=None,
 ) -> Evaluators:
     """Assemble real evaluators from torch checkpoint files using the
@@ -271,10 +273,22 @@ def evaluators_from_weights(
                 load_torch_file(vgg_path), load_torch_file(lpips_heads_path)
             ),
         )
+    image_reward_fn = None
+    if image_reward_path and bert_vocab_path:
+        from ..models.convert import convert_image_reward_weights
+        from ..utils.tokenizer import BertWordPieceTokenizer
+        from .image_reward import BertConfig, ImageReward, make_image_reward_fn
+
+        module = ImageReward(ViTConfig.blip_vit_l16(), BertConfig())
+        params = convert_image_reward_weights(load_torch_file(image_reward_path))
+        image_reward_fn = make_image_reward_fn(
+            module, params, BertWordPieceTokenizer(bert_vocab_path)
+        )
     return Evaluators(
         clip_vision=clip_vision,
         clip_text=clip_text,
         clip_tokenizer=tokenizer or default_tokenizer(),
         dino=dino,
         lpips=lpips,
+        image_reward_fn=image_reward_fn,
     )

@@ -34,6 +34,7 @@ class ViTConfig:
     projection_dim: Optional[int] = 768  # None for DINOv2
     layer_scale_init: Optional[float] = None  # 1e-5 for DINOv2
     pre_ln: bool = True  # CLIP has an embedding pre-LN; DINOv2 doesn't
+    norm_eps: float = 1e-5  # CLIP; timm-style ViTs (DINOv2, BLIP) use 1e-6
 
     @staticmethod
     def clip_vit_l14() -> "ViTConfig":
@@ -44,7 +45,17 @@ class ViTConfig:
         return ViTConfig(
             patch_size=14, hidden_size=768, num_layers=12, num_heads=12,
             intermediate_size=3072, hidden_act="gelu", projection_dim=None,
-            layer_scale_init=1e-5, pre_ln=False,
+            layer_scale_init=1e-5, pre_ln=False, norm_eps=1e-6,
+        )
+
+    @staticmethod
+    def blip_vit_l16() -> "ViTConfig":
+        """BLIP ViT-L/16 image encoder (ImageReward-v1.0 backbone,
+        reference `utils/metrics.py:283-293` via the image_reward pkg)."""
+        return ViTConfig(
+            image_size=224, patch_size=16, hidden_size=1024, num_layers=24,
+            num_heads=16, intermediate_size=4096, hidden_act="gelu",
+            projection_dim=None, pre_ln=False, norm_eps=1e-6,
         )
 
     @staticmethod
@@ -71,7 +82,7 @@ class ViTBlock(nn.Module):
         head_dim = c.hidden_size // c.num_heads
         b, s, _ = x.shape
 
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=c.norm_eps, dtype=self.dtype, name="norm1")(x)
         q = nn.Dense(c.hidden_size, dtype=self.dtype, name="q_proj")(h)
         k = nn.Dense(c.hidden_size, dtype=self.dtype, name="k_proj")(h)
         v = nn.Dense(c.hidden_size, dtype=self.dtype, name="v_proj")(h)
@@ -88,7 +99,7 @@ class ViTBlock(nn.Module):
             attn = attn * gamma1
         x = x + attn
 
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=c.norm_eps, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(h)
         h = _act(c.hidden_act)(h)
         h = nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(h)
@@ -137,7 +148,7 @@ class ViTEncoder(nn.Module):
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_layernorm")(x)
         for i in range(c.num_layers):
             x = ViTBlock(c, dtype=self.dtype, name=f"blocks_{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="post_layernorm")(x)
+        x = nn.LayerNorm(epsilon=c.norm_eps, dtype=self.dtype, name="post_layernorm")(x)
 
         feat = x[:, 0]  # CLS token
         if c.projection_dim is not None:

@@ -514,6 +514,120 @@ def convert_dinov2_weights(state_dict: Dict) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+# ImageReward-v1.0 (BLIP ViT-L/16 + BERT cross-attn + reward MLP
+#   -> metrics.image_reward.ImageReward)
+# ---------------------------------------------------------------------------
+def convert_image_reward_weights(state_dict: Dict) -> Dict:
+    """ImageReward-v1.0 `ImageReward.pt` state dict -> ImageReward params
+    (reference scores with the image_reward package, `utils/metrics.py:283-293`).
+
+    Checkpoint layout (BLIP_Pretrain + reward head):
+      blip.visual_encoder.*  timm-style ViT-L/16: cls_token, pos_embed,
+                             patch_embed.proj, blocks.N.{norm1, attn.qkv
+                             (fused), attn.proj, norm2, mlp.fc1/fc2}, norm
+      blip.text_encoder.*    BLIP med BertModel: embeddings.{word_embeddings,
+                             position_embeddings, LayerNorm}, encoder.layer.N.
+                             {attention.self.query/key/value,
+                             attention.output.{dense,LayerNorm},
+                             crossattention.self.*, crossattention.output.*,
+                             intermediate.dense, output.{dense,LayerNorm}}
+      mlp.layers.{0,2,4,6,7} the five reward Linears (dropouts between)
+    Projection heads / itm head / text decoder of BLIP_Pretrain are unused
+    by scoring and skipped.
+    """
+    vis: Dict = {}
+    txt: Dict = {}
+    mlp: Dict = {}
+    _MLP_FC = {"0": "fc1", "2": "fc2", "4": "fc3", "6": "fc4", "7": "fc5"}
+    for key, value in state_dict.items():
+        value = _np(value)
+        k = key[5:] if key.startswith("blip.") else key
+        if k.startswith("visual_encoder."):
+            k = k[len("visual_encoder."):]
+            if k == "cls_token":
+                vis["class_embedding"] = value.reshape(-1)
+            elif k == "pos_embed":
+                vis["position_embedding"] = value[0]
+            elif k.startswith("patch_embed.proj."):
+                leaf = "kernel" if k.endswith("weight") else "bias"
+                v = _conv_kernel(value) if value.ndim == 4 else value
+                _set(vis, ("patch_embed", leaf), v)
+            elif k.startswith("norm."):
+                leaf = "scale" if k.endswith("weight") else "bias"
+                _set(vis, ("post_layernorm", leaf), value)
+            elif k.startswith("blocks."):
+                parts = k.split(".")
+                layer = f"blocks_{parts[1]}"
+                sub, leaf = parts[2:-1], parts[-1]
+                if sub[0] == "attn" and sub[1] == "qkv":
+                    d = value.shape[0] // 3
+                    for name, chunk in (
+                        ("q_proj", value[:d]), ("k_proj", value[d:2 * d]),
+                        ("v_proj", value[2 * d:]),
+                    ):
+                        if leaf == "weight":
+                            _set(vis, (layer, name, "kernel"), _dense_kernel(chunk))
+                        else:
+                            _set(vis, (layer, name, "bias"), chunk)
+                elif sub[0] == "attn" and sub[1] == "proj":
+                    v = _dense_kernel(value) if value.ndim == 2 else value
+                    _set(vis, (layer, "out_proj",
+                               "kernel" if leaf == "weight" else "bias"), v)
+                elif sub[0] in ("norm1", "norm2"):
+                    _set(vis, (layer, sub[0],
+                               "scale" if leaf == "weight" else "bias"), value)
+                elif sub[0] == "mlp":
+                    v = _dense_kernel(value) if value.ndim == 2 else value
+                    _set(vis, (layer, sub[1],
+                               "kernel" if leaf == "weight" else "bias"), v)
+        elif k.startswith("text_encoder."):
+            k = k[len("text_encoder."):]
+            if "position_ids" in k:
+                continue
+            if k == "embeddings.word_embeddings.weight":
+                _set(txt, ("word_embeddings", "embedding"), value)
+            elif k == "embeddings.position_embeddings.weight":
+                txt["position_embeddings"] = value
+            elif k.startswith("embeddings.LayerNorm."):
+                _set(txt, ("embed_norm",
+                           "scale" if k.endswith("weight") else "bias"), value)
+            elif k.startswith("encoder.layer."):
+                parts = k.split(".")
+                layer = f"layer_{parts[2]}"
+                sub, leaf = parts[3:-1], parts[-1]
+                is_w = leaf == "weight"
+                if sub[0] in ("attention", "crossattention"):
+                    attn = sub[0]
+                    if sub[1] == "self":
+                        _set(txt, (layer, attn, sub[2],
+                                   "kernel" if is_w else "bias"),
+                             _dense_kernel(value) if is_w else value)
+                    elif sub[1] == "output" and sub[2] == "dense":
+                        _set(txt, (layer, attn, "output",
+                                   "kernel" if is_w else "bias"),
+                             _dense_kernel(value) if is_w else value)
+                    elif sub[1] == "output" and sub[2] == "LayerNorm":
+                        _set(txt, (layer, attn, "norm",
+                                   "scale" if is_w else "bias"), value)
+                elif sub[0] == "intermediate":
+                    _set(txt, (layer, "intermediate",
+                               "kernel" if is_w else "bias"),
+                         _dense_kernel(value) if is_w else value)
+                elif sub[0] == "output" and sub[1] == "dense":
+                    _set(txt, (layer, "output", "kernel" if is_w else "bias"),
+                         _dense_kernel(value) if is_w else value)
+                elif sub[0] == "output" and sub[1] == "LayerNorm":
+                    _set(txt, (layer, "norm", "scale" if is_w else "bias"), value)
+        elif k.startswith("mlp.layers."):
+            parts = k.split(".")
+            if parts[2] in _MLP_FC:
+                is_w = parts[-1] == "weight"
+                _set(mlp, (_MLP_FC[parts[2]], "kernel" if is_w else "bias"),
+                     _dense_kernel(value) if is_w else value)
+    return {"params": {"visual_encoder": vis, "text_encoder": txt, "mlp": mlp}}
+
+
+# ---------------------------------------------------------------------------
 # LPIPS (torchvision VGG16 features + LPIPS linear heads -> metrics.lpips)
 # ---------------------------------------------------------------------------
 _VGG_FEATURE_INDEX = {

@@ -256,3 +256,72 @@ def default_tokenizer(**kw):
     (which ignores ClipTokenizer-only kwargs like pad_token_id)."""
     tok = ClipTokenizer.find(**kw)
     return tok if tok is not None else HashTokenizer()
+
+
+class BertWordPieceTokenizer:
+    """Minimal BERT WordPiece tokenizer (lowercase, greedy longest-match)
+    for the BLIP text encoder inside ImageReward (reference scores via the
+    image_reward package's BERT tokenizer, `utils/metrics.py:283-293`).
+
+    `vocab`: {token: id} mapping or a vocab.txt path (one token per line).
+    Output: [CLS] tokens... [SEP] padded with [PAD], max_len 35 (BLIP's
+    scoring length).
+    """
+
+    def __init__(self, vocab, max_len: int = 35):
+        if isinstance(vocab, str):
+            with open(vocab, encoding="utf-8") as f:
+                vocab = {line.rstrip("\n"): i for i, line in enumerate(f)}
+        self.vocab: Dict[str, int] = dict(vocab)
+        self.max_len = max_len
+        self.pad_id = self.vocab.get("[PAD]", 0)
+        self.cls_id = self.vocab.get("[CLS]", 101)
+        self.sep_id = self.vocab.get("[SEP]", 102)
+        self.unk_id = self.vocab.get("[UNK]", 100)
+
+    def _basic_tokens(self, text: str):
+        text = whitespace_clean(basic_clean(text)).lower()
+        out, word = [], []
+        for ch in text:
+            if ch.isalnum():
+                word.append(ch)
+            else:
+                if word:
+                    out.append("".join(word))
+                    word = []
+                if not ch.isspace():
+                    out.append(ch)
+        if word:
+            out.append("".join(word))
+        return out
+
+    def _wordpiece(self, word: str):
+        ids, start = [], 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                piece = word[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                if piece in self.vocab:
+                    cur = self.vocab[piece]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk_id]
+            ids.append(cur)
+            start = end
+        return ids
+
+    def __call__(self, texts) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.full((len(texts), self.max_len), self.pad_id, np.int32)
+        for i, t in enumerate(texts):
+            ids = [self.cls_id]
+            for w in self._basic_tokens(t):
+                ids.extend(self._wordpiece(w))
+            ids = ids[: self.max_len - 1] + [self.sep_id]
+            out[i, : len(ids)] = ids
+        return out

@@ -283,3 +283,125 @@ class TestLpipsConverter:
         a = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
         d = mod.apply(converted, a, a)
         np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+class TestImageRewardConverter:
+    def test_structure_matches_flax_init(self):
+        """Synthesize a tiny ImageReward-v1.0-style state dict (BLIP ViT
+        fused-qkv naming + BERT med naming + mlp.layers.{0,2,4,6,7}) and
+        check the converter reproduces the flax init structure exactly
+        (VERDICT round-1 item 8)."""
+        import dataclasses as dc
+
+        from invertible_cd_tpu.metrics.image_reward import BertConfig, ImageReward
+        from invertible_cd_tpu.metrics.vit import ViTConfig
+        from invertible_cd_tpu.models.convert import convert_image_reward_weights
+
+        vcfg = dc.replace(ViTConfig.tiny(), projection_dim=None, pre_ln=False,
+                          norm_eps=1e-6)
+        bcfg = BertConfig.tiny(encoder_width=vcfg.hidden_size)
+        model = ImageReward(vcfg, bcfg)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 28, 28, 3)),
+            jnp.zeros((1, 10), jnp.int32),
+        )
+
+        rng = np.random.default_rng(1)
+        d = vcfg.hidden_size
+        h = bcfg.hidden_size
+        n_pos = (vcfg.image_size // vcfg.patch_size) ** 2 + 1
+        sd = {
+            "blip.visual_encoder.cls_token": rng.normal(size=(1, 1, d)),
+            "blip.visual_encoder.pos_embed": rng.normal(size=(1, n_pos, d)),
+            "blip.visual_encoder.patch_embed.proj.weight": rng.normal(
+                size=(d, 3, vcfg.patch_size, vcfg.patch_size)),
+            "blip.visual_encoder.patch_embed.proj.bias": rng.normal(size=(d,)),
+            "blip.visual_encoder.norm.weight": np.ones(d),
+            "blip.visual_encoder.norm.bias": np.zeros(d),
+            "blip.text_encoder.embeddings.word_embeddings.weight": rng.normal(
+                size=(bcfg.vocab_size, h)),
+            "blip.text_encoder.embeddings.position_embeddings.weight": rng.normal(
+                size=(bcfg.max_position_embeddings, h)),
+            "blip.text_encoder.embeddings.LayerNorm.weight": np.ones(h),
+            "blip.text_encoder.embeddings.LayerNorm.bias": np.zeros(h),
+            # unused BLIP_Pretrain heads must be skipped
+            "blip.vision_proj.weight": rng.normal(size=(8, d)),
+            "blip.itm_head.weight": rng.normal(size=(2, h)),
+            "blip.temp": np.asarray(0.07),
+        }
+        for i in range(vcfg.num_layers):
+            p = f"blip.visual_encoder.blocks.{i}"
+            sd.update({
+                f"{p}.norm1.weight": np.ones(d), f"{p}.norm1.bias": np.zeros(d),
+                f"{p}.attn.qkv.weight": rng.normal(size=(3 * d, d)),
+                f"{p}.attn.qkv.bias": rng.normal(size=(3 * d,)),
+                f"{p}.attn.proj.weight": rng.normal(size=(d, d)),
+                f"{p}.attn.proj.bias": rng.normal(size=(d,)),
+                f"{p}.norm2.weight": np.ones(d), f"{p}.norm2.bias": np.zeros(d),
+                f"{p}.mlp.fc1.weight": rng.normal(size=(vcfg.intermediate_size, d)),
+                f"{p}.mlp.fc1.bias": rng.normal(size=(vcfg.intermediate_size,)),
+                f"{p}.mlp.fc2.weight": rng.normal(size=(d, vcfg.intermediate_size)),
+                f"{p}.mlp.fc2.bias": rng.normal(size=(d,)),
+            })
+        for i in range(bcfg.num_layers):
+            p = f"blip.text_encoder.encoder.layer.{i}"
+            for attn, kvdim in (("attention", h), ("crossattention", d)):
+                sd.update({
+                    f"{p}.{attn}.self.query.weight": rng.normal(size=(h, h)),
+                    f"{p}.{attn}.self.query.bias": rng.normal(size=(h,)),
+                    f"{p}.{attn}.self.key.weight": rng.normal(size=(h, kvdim)),
+                    f"{p}.{attn}.self.key.bias": rng.normal(size=(h,)),
+                    f"{p}.{attn}.self.value.weight": rng.normal(size=(h, kvdim)),
+                    f"{p}.{attn}.self.value.bias": rng.normal(size=(h,)),
+                    f"{p}.{attn}.output.dense.weight": rng.normal(size=(h, h)),
+                    f"{p}.{attn}.output.dense.bias": rng.normal(size=(h,)),
+                    f"{p}.{attn}.output.LayerNorm.weight": np.ones(h),
+                    f"{p}.{attn}.output.LayerNorm.bias": np.zeros(h),
+                })
+            sd.update({
+                f"{p}.intermediate.dense.weight": rng.normal(
+                    size=(bcfg.intermediate_size, h)),
+                f"{p}.intermediate.dense.bias": rng.normal(
+                    size=(bcfg.intermediate_size,)),
+                f"{p}.output.dense.weight": rng.normal(
+                    size=(h, bcfg.intermediate_size)),
+                f"{p}.output.dense.bias": rng.normal(size=(h,)),
+                f"{p}.output.LayerNorm.weight": np.ones(h),
+                f"{p}.output.LayerNorm.bias": np.zeros(h),
+            })
+        dims = [(h, 1024), (1024, 128), (128, 64), (64, 16), (16, 1)]
+        for idx, (i_d, o_d) in zip(("0", "2", "4", "6", "7"), dims):
+            sd[f"mlp.layers.{idx}.weight"] = rng.normal(size=(o_d, i_d))
+            sd[f"mlp.layers.{idx}.bias"] = rng.normal(size=(o_d,))
+
+        sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+        converted = convert_image_reward_weights(sd)
+        got = {jax.tree_util.keystr(p)
+               for p, _ in jax.tree_util.tree_leaves_with_path(converted)}
+        want = {jax.tree_util.keystr(p)
+                for p, _ in jax.tree_util.tree_leaves_with_path(variables)}
+        assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+        shapes_got = jax.tree.map(lambda x: x.shape, converted)
+        shapes_want = jax.tree.map(lambda x: x.shape, variables)
+        assert shapes_got == shapes_want
+        imgs = jnp.asarray(np.random.default_rng(2).uniform(size=(1, 28, 28, 3)), jnp.float32)
+        ids = jnp.zeros((1, 10), jnp.int32)
+        out = model.apply(converted, imgs, ids)
+        assert out.shape == (1,) and np.isfinite(np.asarray(out)).all()
+
+
+class TestBertWordPieceTokenizer:
+    def test_greedy_wordpiece(self):
+        from invertible_cd_tpu.utils.tokenizer import BertWordPieceTokenizer
+
+        vocab = {t: i for i, t in enumerate(
+            ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "un", "##believ", "##able",
+             "cat", ",", "a"]
+        )}
+        tok = BertWordPieceTokenizer(vocab, max_len=10)
+        ids = tok(["a unbelievable cat, zzz"])
+        v = vocab
+        expect = [v["[CLS]"], v["a"], v["un"], v["##believ"], v["##able"],
+                  v["cat"], v[","], 1, v["[SEP]"], v["[PAD]"]]
+        assert ids.tolist()[0] == expect
