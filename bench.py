@@ -1,66 +1,217 @@
-"""Headline benchmark: 4-step iCD-SD1.5 512x512 generation throughput.
+"""Driver benchmarks for the BASELINE.json configs.
 
-Runs the full inference pipeline as ONE jit program — CLIP text encode,
-4 consistency UNet calls (w-embedding guidance), VAE decode — on whatever
-accelerator jax sees (the driver provides one TPU chip), and prints a
-single JSON line:
+Prints ONE JSON line with the headline metric
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+plus an "extra" dict carrying the other measured configs.
 
-  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Modes (`python bench.py [--mode MODE]`):
+  gen (default)  config 1: 4-step iCD-SD1.5 512x512 generation — batch-16
+                 throughput (headline) AND batch-1 latency; also config 2:
+                 p50 invert+edit round trip (forward CD + p2p
+                 AttentionReplace editing with dynamic tau guidance).
+  sdxl           config 3: 4-step iCD-SDXL 1024x1024 generation.
+  train          config 5: SD1.5 dual-student training step (all four
+                 losses), samples/sec/chip.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); we compare
 against an estimated 6.0 images/sec/chip for the torch/diffusers reference
 running 4-step iCD-SD1.5 fp16 on its usual A100 hardware (~0.17 s/image:
 4 UNet passes at ~35 ms + VAE decode at ~25 ms, batch 1 with xformers).
 That constant is documented here so the judge can audit the comparison.
+Per-mode baselines are estimated the same way and documented inline.
 
 Measured scaling on v5e-1 (batch -> images/sec): 4 -> 6.3, 8 -> 14.5,
-16 -> 20.4, 32 -> 20.2; throughput saturates at batch 16, which this
-benchmark uses.
+16 -> 20.4, 32 -> 20.2; throughput saturates at batch 16, which the
+headline uses.
 
 Weights are zero-initialised (bf16): timing is independent of weight
 values, and no checkpoints ship in this zero-egress container.
+
+NOTE: on this container's tunneled-TPU backend `block_until_ready` does
+not actually block; a value fetch is the only reliable fence, so every
+iteration fetches one pixel.
 """
+import argparse
 import json
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-REFERENCE_IMAGES_PER_SEC_EST = 6.0
-BATCH = 16
-ITERS = 6
+REF_SD15_IMAGES_PER_SEC = 6.0   # A100 fp16 estimate, see module docstring
+REF_EDIT_SEC = 0.45             # invert (4 UNet) + edit (4 UNet, batch 2) + 2 VAE
+REF_SDXL_IMAGES_PER_SEC = 1.4   # SDXL-base 4-step fp16 A100 estimate (~0.7 s/img)
+REF_TRAIN_SAMPLES_PER_SEC = 20.0  # batch 512 / ~26 s/step on 8xA100 -> /8 chips
 
 
-def main():
+def _fence(x):
+    float(np.asarray(jax.device_get(x)).ravel()[0])
+
+
+def _time(fn, iters=4):
+    fn()  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_gen():
     from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
 
     pipe = InvertibleCD.sd15(dtype=jnp.bfloat16)
+
+    # -- config 1a: batch-16 throughput (headline) --
+    BATCH, ITERS = 16, 6
+    prompts16 = ["a photo of a corgi on the beach"] * BATCH
+    imgs, _ = pipe.generate(prompts16, key=jax.random.PRNGKey(150))
+    _fence(imgs)
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        imgs, _ = pipe.generate(prompts16, key=jax.random.PRNGKey(i))
+        _fence(imgs)
+    ips = BATCH * ITERS / (time.perf_counter() - t0)
+
+    # -- config 1b: batch-1 latency (the reference protocol's shape) --
+    def one():
+        im, _ = pipe.generate(["a corgi"], key=jax.random.PRNGKey(0))
+        _fence(im)
+
+    lat1 = _time(one, iters=6)
+
+    # -- config 2: invert + p2p-edit round trip, p50 latency --
+    from invertible_cd_tpu.edit import make_controller
+
+    img = np.random.default_rng(0).integers(0, 255, (512, 512, 3), np.uint8)
+    ctrl = make_controller(
+        ["a photo of a corgi on the beach", "a photo of a cat on the beach"],
+        pipe.tokenizer, num_steps=pipe.grid.num_reverse_steps,
+        is_replace_controller=True, cross_replace_steps=0.6,
+        self_replace_steps=0.4,
+    )
+    g = pipe.default_guidance(
+        guidance_scale=19.0, dynamic_guidance=True, tau1=0.8, tau2=0.8,
+        edit_pair=True,
+    )
+
+    def edit_once():
+        out, _ = pipe.edit(
+            img, "a photo of a corgi on the beach",
+            "a photo of a cat on the beach", ctrl, guidance=g,
+        )
+        _fence(out)
+
+    edit_once()  # compile both programs
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        edit_once()
+        times.append(time.perf_counter() - t0)
+    p50_edit = float(np.percentile(times, 50))
+
+    return {
+        "metric": "icd_sd15_4step_512_generation",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / REF_SD15_IMAGES_PER_SEC, 3),
+        "extra": {
+            "sd15_batch1_latency_sec": round(lat1, 4),
+            "invert_edit_p50_sec": round(p50_edit, 4),
+            "invert_edit_vs_baseline": round(REF_EDIT_SEC / p50_edit, 3),
+        },
+    }
+
+
+def bench_sdxl():
+    from invertible_cd_tpu.pipelines.sdxl import InvertibleCDXL
+
+    pipe = InvertibleCDXL.sdxl(dtype=jnp.bfloat16)
+    BATCH, ITERS = 4, 4
     prompts = ["a photo of a corgi on the beach"] * BATCH
-    key = jax.random.PRNGKey(150)
 
-    # Warmup / compile. NOTE: on this container's tunneled-TPU backend
-    # `block_until_ready` does not actually block; a value fetch is the
-    # only reliable fence, so each iteration fetches one pixel.
-    imgs, _ = pipe.generate(prompts, key=key)
-    float(imgs[0, 0, 0, 0])
-
+    imgs, _ = pipe.generate(prompts, key=jax.random.PRNGKey(0))
+    _fence(imgs)
     t0 = time.perf_counter()
     for i in range(ITERS):
         imgs, _ = pipe.generate(prompts, key=jax.random.PRNGKey(i))
-        float(imgs[0, 0, 0, 0])
-    dt = time.perf_counter() - t0
+        _fence(imgs)
+    ips = BATCH * ITERS / (time.perf_counter() - t0)
+    return {
+        "metric": "icd_sdxl_4step_1024_generation",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / REF_SDXL_IMAGES_PER_SEC, 3),
+    }
 
-    ips = BATCH * ITERS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "icd_sd15_4step_512_generation",
-                "value": round(ips, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(ips / REFERENCE_IMAGES_PER_SEC_EST, 3),
-            }
+
+def bench_train():
+    from invertible_cd_tpu.diffusion.schedule import make_schedule
+    from invertible_cd_tpu.diffusion.solver import make_train_solver
+    from invertible_cd_tpu.models import UNet2DCondition, UNetConfig
+    from invertible_cd_tpu.parallel import make_mesh, shard_batch, shard_params
+    from invertible_cd_tpu.training import (
+        LossConfig, TrainConfig, init_train_state, make_train_step,
+    )
+
+    BATCH = 32
+    cfg = UNetConfig.sd15()
+    unet = UNet2DCondition(cfg, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda: unet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 4)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768)),
+            jnp.zeros((1, 512)),
         )
     )
+    base = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes)
+    schedule = make_schedule()
+    solver = make_train_solver(
+        np.asarray(schedule.alphas_cumprod),
+        num_endpoints=4, num_forward_endpoints=4,
+        endpoints="0,259,519,779", forward_endpoints="259,519,779,999",
+    )
+    tcfg = TrainConfig(remat=True, loss=LossConfig())
+    mesh = make_mesh()
+    with mesh:
+        base = shard_params(base, mesh)
+        state = init_train_state(jax.random.PRNGKey(1), base, tcfg)
+        step_fn = make_train_step(unet, base, base, solver, schedule, tcfg, mesh)
+        batch = shard_batch(
+            {
+                "latents": jnp.zeros((BATCH, 64, 64, 4)),
+                "context": jnp.zeros((BATCH, 77, 768)),
+            },
+            mesh,
+        )
+
+        def step(i):
+            nonlocal state
+            state, metrics = step_fn(
+                state, base, base, batch, jax.random.PRNGKey(i)
+            )
+            _fence(metrics["reverse_total_loss"])
+
+        step(0)  # compile
+        t0 = time.perf_counter()
+        N = 4
+        for i in range(1, N + 1):
+            step(i)
+        sps = BATCH * N / (time.perf_counter() - t0)
+    return {
+        "metric": "icd_sd15_train_samples_per_sec",
+        "value": round(sps, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(sps / REF_TRAIN_SAMPLES_PER_SEC, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="gen", choices=["gen", "sdxl", "train"])
+    args = ap.parse_args()
+    result = {"gen": bench_gen, "sdxl": bench_sdxl, "train": bench_train}[args.mode]()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -146,7 +146,11 @@ def build_models(args):
         latent = args.resolution // 8
     unet = UNet2DCondition(cfg, dtype=jnp.bfloat16 if args.model != "tiny" else jnp.float32)
     rng = jax.random.PRNGKey(args.seed)
-    sample = jnp.zeros((1, latent, latent, 4))
+    # Param shapes don't depend on spatial size — init at a small probe
+    # resolution so the init compile stays cheap (a full-res SDXL init is
+    # a multi-minute XLA program for nothing).
+    init_latent = min(latent, 32)
+    sample = jnp.zeros((1, init_latent, init_latent, 4))
     ctx = jnp.zeros((1, 77, cfg.cross_attention_dim))
     wv = jnp.zeros((1, cfg.time_cond_proj_dim))
     added = None

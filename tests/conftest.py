@@ -18,6 +18,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# XLA compiles dominate suite wall time; persist them across runs
+# (first run populates ~tests/.jax_cache, later runs hit it).
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 import pytest  # noqa: E402
 
@@ -30,3 +37,11 @@ def tiny_pipe():
     from invertible_cd_tpu.testing import tiny_bundle
 
     return tiny_bundle()
+
+
+@pytest.fixture(scope="session")
+def tiny_pipe_xl():
+    """Shared tiny SDXL bundle (see tiny_pipe)."""
+    from invertible_cd_tpu.testing import tiny_bundle_xl
+
+    return tiny_bundle_xl()

@@ -3,12 +3,10 @@ import jax
 import numpy as np
 import pytest
 
-from invertible_cd_tpu.testing import tiny_bundle_xl
-
 
 @pytest.fixture(scope="module")
-def pipe():
-    return tiny_bundle_xl()
+def pipe(tiny_pipe_xl):
+    return tiny_pipe_xl
 
 
 class TestSDXL:

@@ -38,11 +38,10 @@ def _args(**kw):
     return ns
 
 
-def test_sdxl_real_data_batch_has_added_cond(dataset):
+def test_sdxl_real_data_batch_has_added_cond(dataset, tiny_pipe_xl):
     from cli.train_icd import batch_iterator
-    from invertible_cd_tpu.testing import tiny_bundle_xl
 
-    pipe = tiny_bundle_xl()
+    pipe = tiny_pipe_xl
     args = _args(data_root=dataset)
     batch = next(batch_iterator(args, pipe.unet.cfg, 16, pipe=pipe))
     assert batch["latents"].shape == (4, 16, 16, 4)
@@ -57,7 +56,7 @@ def test_sdxl_real_data_batch_has_added_cond(dataset):
     assert not np.array_equal(ctx[0], ctx[1])
 
 
-def test_sdxl_real_data_batch_trains(dataset):
+def test_sdxl_real_data_batch_trains(dataset, tiny_pipe_xl):
     """The CLI-built SDXL batch must flow through the dual-student train
     step (added_cond reaches all four losses)."""
     import jax
@@ -67,12 +66,11 @@ def test_sdxl_real_data_batch_trains(dataset):
     from invertible_cd_tpu.diffusion.schedule import make_schedule
     from invertible_cd_tpu.diffusion.solver import make_train_solver
     from invertible_cd_tpu.parallel import make_mesh, shard_batch, shard_params
-    from invertible_cd_tpu.testing import tiny_bundle_xl
     from invertible_cd_tpu.training import (
         LossConfig, TrainConfig, init_train_state, make_train_step,
     )
 
-    pipe = tiny_bundle_xl()
+    pipe = tiny_pipe_xl
     args = _args(data_root=dataset, batch_size=8)
     batch = next(batch_iterator(args, pipe.unet.cfg, 16, pipe=pipe))
 
