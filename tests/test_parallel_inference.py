@@ -27,10 +27,10 @@ class TestShardedGenerate:
         from invertible_cd_tpu.edit.controllers import empty_arrays
 
         arrays = empty_arrays(pipe.grid.num_reverse_steps, len(prompts))
-        fn = pipe._get_jit("cons_generate", pipe.default_guidance(), None)
+        fn = pipe._get_jit("cons_generate", pipe.default_guidance(), None, False)
         imgs_sharded, _, _ = fn(
             pipe.params["reverse"], pipe.params["vae"], latent, ctx_u, ctx_c,
-            arrays, added,
+            ctx_c, arrays, added,
         )
         # sharded result spans 8 devices; same math, same pixels
         np.testing.assert_allclose(

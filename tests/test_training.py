@@ -21,6 +21,12 @@ from invertible_cd_tpu.training import (
 
 @pytest.fixture(scope="module")
 def setup():
+    """One mesh, one replicated base, ONE compiled train-step
+    specialization shared by every test below — each extra (sharding,
+    placement) combination would re-trace the full 4-loss step (~40 s on
+    this 1-core CPU runner)."""
+    from invertible_cd_tpu.parallel import replicated
+
     cfg = UNetConfig.tiny()
     unet = UNet2DCondition(cfg)
     rng = jax.random.PRNGKey(0)
@@ -38,9 +44,15 @@ def setup():
         lora_rank=4,
         loss=LossConfig(w_embed_dim=cfg.time_cond_proj_dim),
     )
-    state = init_train_state(jax.random.PRNGKey(1), base, tcfg)
+    mesh = make_mesh(dp=8, fsdp=1)
+    base = jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), base)
+
+    def fresh_state(seed):
+        st = init_train_state(jax.random.PRNGKey(seed), base, tcfg)
+        return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), st)
+
     step = make_train_step(unet, base, base, solver, schedule, tcfg)
-    return unet, cfg, base, schedule, solver, tcfg, state, step
+    return unet, cfg, base, schedule, solver, tcfg, mesh, fresh_state, step
 
 
 def make_batch(cfg, b=8, seed=0):
@@ -54,10 +66,9 @@ def make_batch(cfg, b=8, seed=0):
 
 class TestTrainStep:
     def test_losses_finite_and_state_advances(self, setup):
-        unet, cfg, base, schedule, solver, tcfg, state, step = setup
-        batch = make_batch(cfg)
-        state1 = init_train_state(jax.random.PRNGKey(4), base, tcfg)
-        new_state, metrics = step(state1, base, base, batch, jax.random.PRNGKey(2))
+        unet, cfg, base, schedule, solver, tcfg, mesh, fresh_state, step = setup
+        batch = shard_batch(make_batch(cfg), mesh)
+        new_state, metrics = step(fresh_state(4), base, base, batch, jax.random.PRNGKey(2))
         assert int(new_state.step) == 1
         for k, v in metrics.items():
             assert np.isfinite(float(v)), (k, v)
@@ -68,11 +79,10 @@ class TestTrainStep:
             assert k in metrics
 
     def test_lora_updates_are_nonzero(self, setup):
-        unet, cfg, base, schedule, solver, tcfg, state, step = setup
-        batch = make_batch(cfg, seed=3)
+        unet, cfg, base, schedule, solver, tcfg, mesh, fresh_state, step = setup
+        batch = shard_batch(make_batch(cfg, seed=3), mesh)
         # the train step donates its state arg -> make a fresh one
-        state2 = init_train_state(jax.random.PRNGKey(5), base, tcfg)
-        new_state, _ = step(state2, base, base, batch, jax.random.PRNGKey(3))
+        new_state, _ = step(fresh_state(5), base, base, batch, jax.random.PRNGKey(3))
         # 'up' matrices start at 0; after one step some must move.
         def max_abs(tree):
             return max(float(jnp.max(jnp.abs(v["up"]))) for v in tree.values())
@@ -85,12 +95,12 @@ class TestTrainStep:
         assert set(np.unique(np.asarray(w))).issubset({0.0, 7.0, 19.0})
 
     def test_dp_sharded_step(self, setup):
-        unet, cfg, base, schedule, solver, tcfg, state, step = setup
-        mesh = make_mesh(dp=8, fsdp=1)
+        unet, cfg, base, schedule, solver, tcfg, mesh, fresh_state, step = setup
         batch = shard_batch(make_batch(cfg, b=8, seed=4), mesh)
-        state2 = init_train_state(jax.random.PRNGKey(9), base, tcfg)
-        new_state, metrics = step(state2, base, base, batch, jax.random.PRNGKey(4))
+        new_state, metrics = step(fresh_state(9), base, base, batch, jax.random.PRNGKey(4))
         assert np.isfinite(float(metrics["reverse_total_loss"]))
+        # batch really is dp-sharded over the mesh
+        assert len(batch["latents"].sharding.device_set) == 8
 
 
 class TestResumeOnMesh:
@@ -103,12 +113,8 @@ class TestResumeOnMesh:
             restore_checkpoint, save_checkpoint,
         )
 
-        unet, cfg, base, schedule, solver, tcfg, state, step = setup
-        mesh = make_mesh(dp=8, fsdp=1)
-        base_m = jax.tree.map(
-            lambda x: jax.device_put(x, replicated(mesh)), base
-        )
-        st = init_train_state(jax.random.PRNGKey(11), base, tcfg)
+        unet, cfg, base, schedule, solver, tcfg, mesh, fresh_state, step = setup
+        st = fresh_state(11)
         d = str(tmp_path / "ckpt")
         save_checkpoint(d, st, keep=1)
         restored = restore_checkpoint(d, init_train_state(jax.random.PRNGKey(12), base, tcfg))
@@ -116,6 +122,6 @@ class TestResumeOnMesh:
             lambda x: jax.device_put(x, replicated(mesh)), restored
         )
         batch = shard_batch(make_batch(cfg, b=8, seed=7), mesh)
-        new_state, metrics = step(restored, base_m, base_m, batch, jax.random.PRNGKey(7))
+        new_state, metrics = step(restored, base, base, batch, jax.random.PRNGKey(7))
         assert np.isfinite(float(metrics["reverse_total_loss"]))
         assert int(new_state.step) == 1
