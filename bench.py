@@ -49,7 +49,10 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_SD15_IMAGES_PER_SEC = 6.0   # A100 fp16 estimate, see module docstring
-REF_EDIT_SEC = 0.45             # invert (4 UNet) + edit (4 UNet, batch 2) + 2 VAE
+# invert: 4 UNet calls at CFG-doubled batch 2 (~160 ms) + VAE encode (~10);
+# edit: 4 calls at batch 4 with p2p's eager monkey-patched attention
+# (~1.3x fused, ~480 ms) + VAE decode x2 (~50) -> ~0.7 s on A100 fp16.
+REF_EDIT_SEC = 0.70
 REF_SDXL_IMAGES_PER_SEC = 1.4   # SDXL-base 4-step fp16 A100 estimate (~0.7 s/img)
 REF_TRAIN_SAMPLES_PER_SEC = 20.0  # batch 512 / ~26 s/step on 8xA100 -> /8 chips
 

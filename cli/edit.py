@@ -117,6 +117,9 @@ def parse_args(argv=None):
     p.add_argument("--vae_checkpoint", default=None)
     p.add_argument("--text_checkpoint", default=None)
     p.add_argument("--calc_metrics", action="store_true")
+    from cli.generate import add_scorer_args
+
+    add_scorer_args(p)
     argv = apply_config_file(p, argv)
     return p.parse_args(argv)
 
@@ -206,7 +209,14 @@ def main(argv=None):
         rows.append((args.image, args.source, args.target, ()))
     rows = rows[jax.process_index()::jax.process_count()]
 
+    evals = None
+    if args.calc_metrics:
+        from cli.generate import build_evaluators
+
+        evals = build_evaluators(args)
+
     results = []
+    per_row_metrics = []
     for i, (path, source, target, blend) in enumerate(rows):
         img = Image.open(path).convert("RGB").resize((pix, pix), Image.BICUBIC)
         rec, edited = edit_one(pipe, args, np.asarray(img), source, target, blend)
@@ -214,9 +224,30 @@ def main(argv=None):
         Image.fromarray(edited).save(out_path)
         Image.fromarray(rec).save(out_path.replace("_edited", "_rec"))
         results.append({"file": out_path, "source": source, "target": target})
+        if evals is not None:
+            # the reference's editing bundle (`edit.py:465-486` via
+            # metrics.calc_all): preservation CLIP-I/I + DINOv2 vs the
+            # original, editing CLIP-I/T + ImageReward vs the target prompt
+            orig01 = np.asarray(img, np.float32)[None] / 255.0
+            edit01 = np.asarray(edited, np.float32)[None] / 255.0
+            per_row_metrics.append(
+                evals.calc_all(orig01, edit01, [source], [target])
+            )
         print(f"[{i + 1}/{len(rows)}] {source!r} -> {target!r}")
+
+    summary = {"results": results}
+    if per_row_metrics:
+        keys = per_row_metrics[0].keys()
+        summary["metrics"] = {
+            k: (
+                float(np.mean([m[k] for m in per_row_metrics]))
+                if all(m[k] is not None for m in per_row_metrics) else None
+            )
+            for k in keys
+        }
+        print("metrics:", summary["metrics"])
     with open(os.path.join(args.out, "results.json"), "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(summary, f, indent=2)
     print(f"wrote {len(results)} edits to {args.out}")
 
 

@@ -89,8 +89,38 @@ def parse_args(argv=None):
                    help="transformers CLIPTextModel state dict(s); for SDXL pass "
                         "'clip_l.safetensors,clip_bigg.safetensors'")
     p.add_argument("--calc_metrics", action="store_true")
+    add_scorer_args(p)
     argv = apply_config_file(p, argv)
     return p.parse_args(argv)
+
+
+def add_scorer_args(p):
+    """Scorer checkpoint flags (the torch artifacts the reference downloads
+    via transformers/torchhub/piq/image_reward, `utils/metrics.py:139-321`).
+    Any missing file leaves that metric None in the output."""
+    p.add_argument("--clip_vision_weights", default=None,
+                   help="transformers CLIPVisionModel(.WithProjection) state dict")
+    p.add_argument("--clip_text_scorer_weights", default=None,
+                   help="transformers CLIPTextModelWithProjection state dict")
+    p.add_argument("--dino_weights", default=None, help="torch-hub dinov2_vitb14")
+    p.add_argument("--vgg_weights", default=None, help="torchvision vgg16 features")
+    p.add_argument("--lpips_heads_weights", default=None, help="LPIPS lin heads")
+    p.add_argument("--image_reward_weights", default=None, help="ImageReward.pt")
+    p.add_argument("--bert_vocab", default=None, help="BERT vocab.txt (ImageReward)")
+
+
+def build_evaluators(args):
+    from invertible_cd_tpu.metrics.scores import evaluators_from_weights
+
+    return evaluators_from_weights(
+        clip_vision_path=args.clip_vision_weights,
+        clip_text_path=args.clip_text_scorer_weights,
+        dino_path=args.dino_weights,
+        vgg_path=args.vgg_weights,
+        lpips_heads_path=args.lpips_heads_weights,
+        image_reward_path=args.image_reward_weights,
+        bert_vocab_path=args.bert_vocab,
+    )
 
 
 def build_pipeline(args):
@@ -162,6 +192,9 @@ def main(argv=None):
     )
     from PIL import Image
 
+    evals = build_evaluators(args) if args.calc_metrics else None
+    clip_scores = []
+    ir_scores = []
     saved = []
     for i in range(0, len(prompts), args.batch_size):
         batch = prompts[i : i + args.batch_size]
@@ -174,13 +207,27 @@ def main(argv=None):
             path = os.path.join(args.out, f"{i + j:06d}.jpg")
             Image.fromarray(img).save(path)
             saved.append(path)
+        if evals is not None:
+            # the reference's generation eval: CLIP image-text score +
+            # ImageReward over all prompts (`generate.py:404-425`)
+            images01 = np.asarray(imgs, np.float32)
+            s = evals.clip_image_text(images01, batch)
+            if s is not None:
+                clip_scores.extend([s] * len(batch))
+            r = evals.image_reward(images01, batch)
+            if r is not None:
+                ir_scores.extend([r] * len(batch))
     print(f"saved {len(saved)} images to {args.out}")
 
     if args.calc_metrics:
-        from invertible_cd_tpu.metrics import Evaluators  # weights required
-
-        print("metric evaluation requires loaded scorer weights; see "
-              "invertible_cd_tpu/metrics/scores.py (gated in this env)")
+        metrics = {
+            "clip_score": float(np.mean(clip_scores)) if clip_scores else None,
+            "image_reward": float(np.mean(ir_scores)) if ir_scores else None,
+            "n_images": len(saved),
+        }
+        with open(os.path.join(args.out, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print("metrics:", metrics)
     with open(os.path.join(args.out, "manifest.json"), "w") as f:
         json.dump({"prompts": prompts, "files": saved}, f, indent=2)
 
