@@ -124,6 +124,10 @@ def parse_args(argv=None):
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--remat", action="store_true",
                    help="gradient checkpointing on the student UNets")
+    p.add_argument("--split_step", action="store_true",
+                   help="compile the reverse/forward student updates as two "
+                        "separate XLA programs (same numerics; halves the "
+                        "program size — use for SDXL-scale compiles)")
     p.add_argument("--bf16_params", action="store_true",
                    help="store base/teacher params in bf16 (halves HBM; "
                         "LoRA adapters and optimizer stay fp32)")
@@ -433,7 +437,10 @@ def main(argv=None):
                     lambda x: jax.device_put(x, replicated(mesh)), state
                 )
                 print(f"resumed from step {int(state.step)}")
-        step_fn = make_train_step(unet, base, base, solver, schedule, tcfg, mesh)
+        step_fn = make_train_step(
+            unet, base, base, solver, schedule, tcfg, mesh,
+            split=args.split_step,
+        )
 
         # Encoder/decoder pipeline (text+VAE) for real data, validation
         # panels and FID — built lazily; synthetic smoke runs that never hit

@@ -126,6 +126,7 @@ def make_train_step(
     schedule: NoiseSchedule,
     cfg: TrainConfig,
     mesh=None,
+    split: bool = False,
 ):
     """Build the compiled train step.
 
@@ -139,10 +140,17 @@ def make_train_step(
       noise: (B, h, w, 4) or None -> drawn from rng.
     Base/teacher params are explicit args so they can live sharded on the
     mesh without being baked into the program as constants.
+
+    `split=True` compiles the reverse-student and forward-student halves
+    as two separate XLA programs instead of one fused step. Numerics are
+    identical (both halves still read the pre-step counterpart LoRA), but
+    each program is roughly half the size — the difference between an
+    SDXL-scale step compiling in minutes vs not at all. The fused form
+    remains the default (single dispatch, best overlap).
     """
     opt = make_optimizer(cfg)
 
-    def step_fn(state: ICDTrainState, base, teacher, batch, rng):
+    def _step_impl(state: ICDTrainState, base, teacher, batch, rng, parts):
         latents = batch["latents"]
         context = batch["context"]
         uncond_context = batch.get("uncond_context", context)
@@ -245,7 +253,9 @@ def make_train_step(
 
         metrics = {}
         new_lora_r, new_opt_r = state.lora_reverse, state.opt_reverse
-        if cfg.use_reverse_cd or cfg.use_reverse_preserve:
+        if parts in ("both", "reverse") and (
+            cfg.use_reverse_cd or cfg.use_reverse_preserve
+        ):
             (loss_r, logs_r), grads_r = jax.value_and_grad(
                 reverse_objective, has_aux=True
             )(state.lora_reverse)
@@ -258,7 +268,9 @@ def make_train_step(
             metrics["reverse_grad_norm"] = optax.global_norm(grads_r)
 
         new_lora_f, new_opt_f = state.lora_forward, state.opt_forward
-        if cfg.use_forward_cd or cfg.use_forward_preserve:
+        if parts in ("both", "forward") and (
+            cfg.use_forward_cd or cfg.use_forward_preserve
+        ):
             (loss_f, logs_f), grads_f = jax.value_and_grad(
                 forward_objective, has_aux=True
             )(state.lora_forward)
@@ -283,4 +295,30 @@ def make_train_step(
     # callers place the batch with parallel.shard_batch (leading axis over
     # "dp") and params with parallel.shard_params / replicated. XLA then
     # inserts the gradient all-reduce over ICI automatically.
-    return jax.jit(step_fn, donate_argnums=(0,))
+    import functools
+
+    if not split:
+        return jax.jit(
+            functools.partial(_step_impl, parts="both"), donate_argnums=(0,)
+        )
+
+    rev_fn = jax.jit(functools.partial(_step_impl, parts="reverse"))
+    fwd_fn = jax.jit(functools.partial(_step_impl, parts="forward"))
+
+    def step_fn(state: ICDTrainState, base, teacher, batch, rng):
+        # Both halves receive the SAME pre-step state (and the same rng, so
+        # each loss draws the keys it would under the fused step) — the
+        # forward half's frozen reverse counterpart is the pre-update one,
+        # exactly as in the fused program.
+        rev_state, m_rev = rev_fn(state, base, teacher, batch, rng)
+        fwd_state, m_fwd = fwd_fn(state, base, teacher, batch, rng)
+        new_state = ICDTrainState(
+            step=state.step + 1,
+            lora_reverse=rev_state.lora_reverse,
+            lora_forward=fwd_state.lora_forward,
+            opt_reverse=rev_state.opt_reverse,
+            opt_forward=fwd_state.opt_forward,
+        )
+        return new_state, {**m_rev, **m_fwd}
+
+    return step_fn

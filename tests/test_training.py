@@ -125,3 +125,33 @@ class TestResumeOnMesh:
         new_state, metrics = step(restored, base, base, batch, jax.random.PRNGKey(7))
         assert np.isfinite(float(metrics["reverse_total_loss"]))
         assert int(new_state.step) == 1
+
+
+class TestSplitStep:
+    def test_split_matches_fused(self, setup):
+        """split=True (two XLA programs) must produce the same updates as
+        the fused step — both halves read the pre-step counterpart and the
+        same rng."""
+        from invertible_cd_tpu.training import make_train_step
+
+        unet, cfg, base, schedule, solver, tcfg, mesh, fresh_state, step = setup
+        split_step = make_train_step(
+            unet, base, base, solver, schedule, tcfg, split=True
+        )
+        batch = shard_batch(make_batch(cfg, seed=21), mesh)
+        rng = jax.random.PRNGKey(21)
+        fused_state, fused_m = step(fresh_state(30), base, base, batch, rng)
+        split_state, split_m = split_step(fresh_state(30), base, base, batch, rng)
+        assert set(fused_m) == set(split_m)
+        for k in fused_m:
+            np.testing.assert_allclose(
+                float(fused_m[k]), float(split_m[k]), rtol=2e-5, atol=1e-6
+            )
+        for a, b in zip(
+            jax.tree.leaves(fused_state.lora_reverse),
+            jax.tree.leaves(split_state.lora_reverse),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+        assert int(split_state.step) == 1
