@@ -52,14 +52,10 @@ def apply_config_file(p: "argparse.ArgumentParser", argv):
         with open(path) as f:
             cfg = json.load(f)
         known = {a.dest for a in p._actions}
-        mapped = {}
-        for k, v in cfg.items():
-            if k.startswith("_") or k not in known:
-                continue
-            if isinstance(v, list):
-                mapped[k] = v
-            else:
-                mapped[k] = v
+        mapped = {
+            k: v for k, v in cfg.items()
+            if not k.startswith("_") and k in known
+        }
         p.set_defaults(**mapped)
     return argv
 

@@ -46,9 +46,12 @@ LSE_LANES = 128  # lane replication width of the logsumexp residual
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, sk: int, scale: float
+    q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int, sk: int, scale: float
 ):
-    """One (q-tile) program: stream K/V tiles, online softmax."""
+    """One (q-tile) program: stream K/V tiles, online softmax.
+
+    `lse_ref` is only present when the call is being differentiated —
+    the inference path skips the residual write entirely."""
     q = q_ref[...].astype(jnp.float32) * scale  # (block_q, D)
     block_q = q.shape[0]
     d = q.shape[1]
@@ -108,18 +111,26 @@ def _fwd_kernel(
     m, l, acc = jax.lax.fori_loop(0, n_k, body, (m, l, acc))
     l = jnp.maximum(l, 1e-30)
     o_ref[...] = (acc / l).astype(o_ref.dtype)
-    # (block_q, 1) -> (block_q, LSE_LANES): lane broadcast, no transpose.
-    lse_ref[...] = jnp.broadcast_to(m + jnp.log(l), (block_q, LSE_LANES))
+    if lse_ref is not None:
+        # (block_q, 1) -> (block_q, LSE_LANES): lane broadcast, no transpose.
+        lse_ref[...] = jnp.broadcast_to(m + jnp.log(l), (block_q, LSE_LANES))
 
 
-def _flash_forward(q, k, v, block_q, block_k, interpret):
+def _flash_forward(q, k, v, block_q, block_k, interpret, with_lse=True):
     g, sq, d = q.shape
     sk = k.shape[1]
     scale = d**-0.5
 
     grid = (g, pl.cdiv(sq, block_q))
     kernel = functools.partial(_fwd_kernel, block_k=block_k, sk=sk, scale=scale)
-    return pl.pallas_call(
+    out_specs = [pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((g, sq, d), q.dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((None, block_q, LSE_LANES), lambda b, i: (b, i, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((g, sq, LSE_LANES), jnp.float32))
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -127,16 +138,11 @@ def _flash_forward(q, k, v, block_q, block_k, interpret):
             pl.BlockSpec((None, sk, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, sk, d), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, block_q, LSE_LANES), lambda b, i: (b, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((g, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((g, sq, LSE_LANES), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(q, k, v)
+    return out if with_lse else (out[0], None)
 
 
 # ---------------------------------------------------------------------------
@@ -336,7 +342,9 @@ def _flash_backward(q, k, v, o, lse, do, block_q, block_k, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_op(q, k, v, block_q, block_k, interpret):
-    o, _ = _flash_forward(q, k, v, block_q, block_k, interpret)
+    # primal (inference) path: no residual write — only the vjp forward
+    # (taken when the call is differentiated) pays for the lse output
+    o, _ = _flash_forward(q, k, v, block_q, block_k, interpret, with_lse=False)
     return o
 
 
