@@ -80,8 +80,13 @@ def test_sdxl_real_data_batch_trains(dataset, tiny_pipe_xl):
         num_endpoints=4, num_forward_endpoints=4,
         endpoints="0,259,519,779", forward_endpoints="259,519,779,999",
     )
+    # CD losses only: this test pins the CLI->step data contract; the
+    # preserve losses' added-cond coverage lives in test_training_sdxl,
+    # and the full 4-loss tiny-SDXL compile costs minutes on 1 CPU core.
     tcfg = TrainConfig(
         lora_rank=4,
+        use_forward_preserve=False,
+        use_reverse_preserve=False,
         loss=LossConfig(w_embed_dim=pipe.unet.cfg.time_cond_proj_dim),
     )
     base = pipe.params["teacher"]
