@@ -189,11 +189,12 @@ def bench_train():
         LossConfig, TrainConfig, init_train_state, make_train_step,
     )
 
-    # One v5e chip fits the FULL 4-loss dual-student step (incl. both
-    # preserve rollouts, remat) at batch 4; production batch 512 runs
-    # data-parallel over a mesh (the step is linear in batch, so
-    # samples/sec/chip here is the per-chip rate of that config).
-    BATCH = 4
+    # Measured on v5e-1: the FULL 4-loss dual-student step fits at batch 2
+    # (batch 4 exhausts the 16 GB HBM — three merged param sets + both
+    # preserve rollouts); production batch 512 runs data-parallel over a
+    # mesh, and the step is linear in batch, so samples/sec/chip here is
+    # the per-chip rate of that config.
+    BATCH = 2
     cfg = UNetConfig.sd15()
     unet = UNet2DCondition(cfg, dtype=jnp.bfloat16)
     shapes = jax.eval_shape(
