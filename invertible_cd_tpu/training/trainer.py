@@ -58,6 +58,11 @@ class TrainConfig:
     # reference's torch gradient-checkpointing flag,
     # train_icd_sd15_lora.py:731-733). Needed for SDXL-scale training.
     remat: bool = False
+    # Store Adam's first moment in bf16. Both students' r=64 LoRA opt
+    # states total ~6 GB fp32 — on a single 16 GB chip that is the
+    # difference between resident and thrashing; multi-chip runs shard
+    # the state (fsdp) and can keep fp32.
+    bf16_moments: bool = False
     loss: L.LossConfig = dataclasses.field(default_factory=L.LossConfig)
 
 
@@ -83,6 +88,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             b2=cfg.adam_beta2,
             eps=cfg.adam_epsilon,
             weight_decay=cfg.adam_weight_decay,
+            mu_dtype=jnp.bfloat16 if cfg.bf16_moments else None,
         ),
     )
 
