@@ -217,6 +217,7 @@ def bench_train():
     )
     tcfg = TrainConfig(
         remat=True,
+        bf16_moments=True,
         use_forward_preserve=False,
         use_reverse_preserve=False,
         loss=LossConfig(),
@@ -246,10 +247,14 @@ def bench_train():
             )
             _fence(metrics["reverse_total_loss"])
 
-        step(0)  # compile
+        # TWO warmup steps: step 1 compiles, step 2 re-specializes (the
+        # output state's layouts differ from the init state's) — timing
+        # from step 3 is steady state.
+        step(0)
+        step(1)
         t0 = time.perf_counter()
         N = 4
-        for i in range(1, N + 1):
+        for i in range(2, N + 2):
             step(i)
         sps = BATCH * N / (time.perf_counter() - t0)
     return {

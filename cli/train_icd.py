@@ -21,6 +21,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Persist XLA executables across runs: full-size train-step compiles cost
+# tens of minutes on this container's remote-compile service, and a fresh
+# process pays them twice (initial compile + a one-time re-specialization
+# once the step's output-state layouts feed back in as inputs).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/icd_tpu_jax_cache")
+
 # --platform must take effect before jax initialises its backends.
 if "--platform" in sys.argv:
     _plat = sys.argv[sys.argv.index("--platform") + 1]
