@@ -129,19 +129,14 @@ def edit_one_sdxl(pipe, args, image, source, target):
     forward-CD invert under the source prompt at guidance 0, then sample the
     TARGET prompt with dynamic guidance and `amplify_prompt=[source]` — the
     source context is swapped in while t > tau1*1000. No p2p controller."""
-    import jax.numpy as jnp
-
     from invertible_cd_tpu.pipelines.pipeline import to_uint8
 
-    inv_latent, _ = pipe.invert(image, source, key=jax.random.PRNGKey(args.seed))
     g = pipe.default_guidance(
         guidance_scale=args.guidance_scale, dynamic_guidance=True,
         tau1=args.tau, tau2=args.tau,
     )
-    # Row 0 regenerates the source prompt (reconstruction), row 1 the edit.
-    latent = jnp.broadcast_to(inv_latent[:1], (2,) + inv_latent.shape[1:])
-    imgs, _ = pipe.generate(
-        [source, target], latent=latent, guidance=g, amplify_prompt=[source],
+    imgs, _ = pipe.edit(
+        image, source, target, key=jax.random.PRNGKey(args.seed), guidance=g,
     )
     u8 = to_uint8(imgs)
     return u8[0], u8[1]

@@ -153,3 +153,45 @@ class InvertibleCDXL(InvertibleCD):
     def encode_prompt(self, prompts: Sequence[str]):
         ctx_u, ctx_c, _ = self._encode_all(list(prompts))
         return ctx_u, ctx_c
+
+    def edit(
+        self,
+        image,
+        source_prompt: str,
+        target_prompt: str,
+        controller=None,
+        key=None,
+        guidance=None,
+        invert_guidance=None,
+    ):
+        """SDXL invert-then-edit. Without a controller this is the
+        reference's SDXL protocol (`running/sdxl/edit.py:201-234`):
+        forward-CD inversion under the source prompt at guidance 0, then
+        dynamic-guidance sampling of the TARGET prompt with
+        `amplify_prompt=[source]` (the source context replaces the
+        target's while t > tau1*1000). With a controller it falls back to
+        the SD1.5-style p2p path (a TPU-side extension — the reference
+        never combines SDXL with p2p).
+
+        Returns (images (2,H,W,3) float [0,1]: row 0 reconstruction,
+        row 1 edit; edited latents)."""
+        if controller is not None:
+            return super().edit(
+                image, source_prompt, target_prompt, controller,
+                key=key, guidance=guidance, invert_guidance=invert_guidance,
+            )
+        import jax as _jax
+
+        inv_latent, _ = self.invert(
+            image, source_prompt,
+            key=key if key is not None else _jax.random.PRNGKey(0),
+            guidance=invert_guidance,
+        )
+        g = guidance or self.default_guidance(
+            guidance_scale=19.0, dynamic_guidance=True, tau1=0.7, tau2=0.7,
+        )
+        latent = jnp.broadcast_to(inv_latent[:1], (2,) + inv_latent.shape[1:])
+        return self.generate(
+            [source_prompt, target_prompt], latent=latent, guidance=g,
+            amplify_prompt=[source_prompt],
+        )

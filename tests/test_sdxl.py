@@ -109,3 +109,16 @@ class TestAmplifyPrompt:
             ["a dog"], key=key, guidance=g, amplify_prompt=["a cat"]
         )
         np.testing.assert_array_equal(np.asarray(base), np.asarray(amp))
+
+
+class TestSDXLEdit:
+    def test_edit_without_controller_uses_amplify_protocol(self, pipe):
+        """InvertibleCDXL.edit with no controller = the reference SDXL
+        protocol: invert + amplified dynamic-guidance sampling
+        (running/sdxl/edit.py:201-234)."""
+        img = np.random.default_rng(1).integers(0, 255, (32, 32, 3), np.uint8)
+        imgs, lat = pipe.edit(img, "a red cat", "a blue cat")
+        assert imgs.shape == (2, 32, 32, 3)
+        assert np.isfinite(np.asarray(imgs)).all()
+        # rows differ: row 0 reconstructs the source, row 1 is the edit
+        assert not np.array_equal(np.asarray(imgs[0]), np.asarray(imgs[1]))
