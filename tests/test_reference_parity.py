@@ -82,11 +82,40 @@ def test_unet_epsilon_parity(pack, pipe):
     t = jnp.asarray(pack["inputs/t"])
     ctx = jnp.asarray(pack["clip/last_hidden"])
     w_emb = jnp.asarray(pack["inputs/w_emb"])
-    got = np.asarray(
-        pipe.unet.apply(pipe.params["reverse"], latent, t, ctx, w_cond=w_emb)
+
+    # Per-stage activations (the recorder hooks conv_in / each block):
+    # a converter bug fails at the FIRST diverging stage, not just the end.
+    stages = ["conv_in"]
+    stages += [f"down_blocks_{i}" for i in range(4)]
+    stages += ["mid_block"] + [f"up_blocks_{i}" for i in range(4)]
+    pack_keys = {
+        "conv_in": "unet/conv_in", "mid_block": "unet/mid",
+        **{f"down_blocks_{i}": f"unet/down_{i}" for i in range(4)},
+        **{f"up_blocks_{i}": f"unet/up_{i}" for i in range(4)},
+    }
+
+    def flt(mdl, method_name):
+        return mdl.name in stages and method_name == "__call__"
+
+    got, state = pipe.unet.apply(
+        pipe.params["reverse"], latent, t, ctx, w_cond=w_emb,
+        capture_intermediates=flt,
     )
+    inter = state["intermediates"]
+    for stage in stages:
+        key = pack_keys[stage]
+        if key not in pack or stage not in inter:
+            continue
+        act = inter[stage]["__call__"][0]
+        if isinstance(act, tuple):  # down blocks return (x, skips)
+            act = act[0]
+        act = np.asarray(act, np.float32)
+        want = _nhwc(pack[key])
+        err = np.abs(act - want).max() / max(np.abs(want).max(), 1e-6)
+        assert err < 5e-3, f"stage {stage} relative error {err}"
+
+    got = np.asarray(got)
     want = _nhwc(pack["unet/out"])
-    # fp32 relative activation error; per-layer stages localise any failure
     err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
     assert err < 5e-3, f"UNet epsilon relative error {err}"
 
