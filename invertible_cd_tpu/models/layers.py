@@ -45,8 +45,43 @@ def sinusoidal_timestep_embedding(
     return emb.astype(dtype)
 
 
+class _GroupNormCore(nn.Module):
+    """GroupNorm with fp32 statistics but NO fp32 activation materialisation.
+
+    The previous form (`nn.GroupNorm(dtype=f32)` on `x.astype(f32)`) wrote
+    a full fp32 copy of the activation to HBM before and after the
+    normalise — at the VAE decoder's 512^2x128 feature maps that is the
+    dominant memory traffic of the whole decode (profile:
+    tools/profile_gen.py). Here the casts fuse into the reductions and the
+    final elementwise, so HBM sees one bf16 read + one bf16 write."""
+
+    groups: int
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        b = x.shape[0]
+        gc = c // self.groups
+        xg = x.reshape(b, -1, self.groups, gc)
+        xf = xg.astype(jnp.float32)  # fuses into the reductions below
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        # fold (mean, inv, scale, bias) into one fused a*x + b elementwise
+        a = inv * scale.reshape(1, 1, self.groups, gc)
+        bb = bias.reshape(1, 1, self.groups, gc) - mean * a
+        y = xg.astype(jnp.float32) * a + bb
+        return y.reshape(x.shape).astype(x.dtype)
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm with float32 statistics (cast back to the compute dtype)."""
+    """GroupNorm with float32 statistics (cast back to the compute dtype).
+
+    Parameters live under `GroupNorm_0/{scale,bias}` — the layout the
+    torch converters (`models/convert.py`) produce."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -54,20 +89,13 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
         channels = x.shape[-1]
         # Real SD channel counts are all multiples of 32; tiny test configs
         # aren't — fall back to the largest divisor <= num_groups.
         groups = self.num_groups
         while channels % groups != 0:
             groups -= 1
-        out = nn.GroupNorm(
-            num_groups=groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return out.astype(orig_dtype)
+        return _GroupNormCore(groups, self.epsilon, name="GroupNorm_0")(x)
 
 
 class TimestepEmbedding(nn.Module):

@@ -10,7 +10,11 @@ With --trace, additionally records a jax.profiler trace of the fused
 program for offline inspection.
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
