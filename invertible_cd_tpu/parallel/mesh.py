@@ -11,6 +11,11 @@ Axes:
   dp   — data parallel (the reference's only strategy: DDP/batch striding)
   fsdp — optional parameter sharding (ZeRO-style; a TPU-idiomatic extension
          needed for SDXL-scale training on small-HBM chips, SURVEY.md §2)
+  tp   — optional tensor parallelism over attention heads (megatron-style:
+         q/k/v kernels sharded on out-features — heads split across chips —
+         and the output projection on in-features, so XLA inserts one psum
+         per attention block). A TPU-idiomatic extension; the reference has
+         no TP (SURVEY.md §2 "TP/PP/SP/EP: ABSENT").
 
 Multi-host: `initialize_distributed` wraps `jax.distributed.initialize`,
 the analog of the reference's `dist_utils.init()` env-var plumbing.
@@ -43,21 +48,24 @@ def initialize_distributed(
 def make_mesh(
     dp: Optional[int] = None,
     fsdp: int = 1,
+    tp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """A (dp, fsdp) mesh over all (or the given) devices.
+    """A (dp, fsdp[, tp]) mesh over all (or the given) devices.
 
-    With fsdp == 1 this degenerates to pure data parallelism — the
-    reference's semantics. dp defaults to n_devices // fsdp.
+    With fsdp == tp == 1 this degenerates to pure data parallelism — the
+    reference's semantics. dp defaults to n_devices // (fsdp * tp).
+    The mesh always carries all three axes (size-1 axes are free), so
+    sharding specs are mesh-shape independent.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % fsdp == 0, (n, fsdp)
-        dp = n // fsdp
-    assert dp * fsdp == n, f"mesh {dp}x{fsdp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, fsdp)
-    return Mesh(arr, ("dp", "fsdp"))
+        assert n % (fsdp * tp) == 0, (n, fsdp, tp)
+        dp = n // (fsdp * tp)
+    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(arr, ("dp", "fsdp", "tp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -69,28 +77,46 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# Attention-kernel leaves sharded over "tp" (megatron-style). Column
+# (out-feature) sharding for q/k/v — XLA propagates it through the
+# (B,S,H,D) head reshape so each chip computes its head slice; row
+# (in-feature) sharding for the output projection, after which XLA
+# inserts the per-block psum.
+_TP_COL = ("to_q", "to_k", "to_v")
+_TP_ROW = ("to_out_0",)
+
+
 def param_sharding(params, mesh: Mesh, min_size: int = 2**16):
-    """FSDP-style parameter layout: shard each large leaf over the "fsdp"
-    axis along its largest divisible dimension; small leaves replicate.
+    """Parameter layout over the mesh: attention kernels shard over "tp"
+    (when tp > 1), every other large leaf over "fsdp" along its largest
+    divisible dimension; small leaves replicate.
 
     Returns a pytree of NamedShardings matching `params` (usable as
     jit in_shardings / device_put targets).
     """
-    n_shard = mesh.shape["fsdp"]
+    n_fsdp = mesh.shape["fsdp"]
+    n_tp = mesh.shape.get("tp", 1)
 
-    def spec_for(leaf) -> NamedSharding:
-        if n_shard == 1 or leaf.size < min_size:
+    def spec_for(path, leaf) -> NamedSharding:
+        names = [getattr(k, "key", str(k)) for k in path]
+        if n_tp > 1 and leaf.ndim == 2 and names[-1] == "kernel":
+            owner = names[-2] if len(names) >= 2 else ""
+            if owner in _TP_COL and leaf.shape[1] % n_tp == 0:
+                return NamedSharding(mesh, P(None, "tp"))
+            if owner in _TP_ROW and leaf.shape[0] % n_tp == 0:
+                return NamedSharding(mesh, P("tp", None))
+        if n_fsdp == 1 or leaf.size < min_size:
             return NamedSharding(mesh, P())
         dims = list(leaf.shape)
         order = sorted(range(len(dims)), key=lambda i: -dims[i])
         for i in order:
-            if dims[i] % n_shard == 0:
+            if dims[i] % n_fsdp == 0:
                 spec = [None] * len(dims)
                 spec[i] = "fsdp"
                 return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
-    return jax.tree.map(spec_for, params)
+    return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
 def shard_params(params, mesh: Mesh):

@@ -37,3 +37,47 @@ class TestShardedGenerate:
             np.asarray(imgs_sharded), np.asarray(imgs_ref), atol=2e-5, rtol=1e-4
         )
         assert len(imgs_sharded.sharding.device_set) == 8
+
+
+class TestTensorParallel:
+    def test_tp_sharded_matches_replicated(self, tiny_pipe):
+        """tp=2 shards attention q/k/v kernels on out-features (heads) and
+        the out projection on in-features; XLA inserts the psum. Pixels
+        must match the unsharded run."""
+        from invertible_cd_tpu.parallel import replicated, shard_params
+        from invertible_cd_tpu.parallel.mesh import param_sharding
+        from jax.sharding import PartitionSpec as P
+
+        pipe = tiny_pipe
+        prompts = ["a cat", "a dog"]
+        key = jax.random.PRNGKey(5)
+        imgs_ref, _ = pipe.generate(prompts, key=key)
+
+        mesh = make_mesh(dp=1, fsdp=1, tp=2, devices=jax.devices()[:2])
+        specs = param_sharding(pipe.params["reverse"], mesh)
+        # the tp rules must actually fire on the attention kernels
+        flat = jax.tree_util.tree_leaves_with_path(specs)
+        tp_specs = [
+            s.spec for p, s in flat
+            if any(getattr(k, "key", "") in ("to_q", "to_out_0") for k in p)
+        ]
+        assert any(s == P(None, "tp") or s == P("tp", None) for s in tp_specs)
+
+        sharded = jax.tree.map(
+            jax.device_put, pipe.params["reverse"], specs
+        )
+        vae_rep = jax.tree.map(
+            lambda x: jax.device_put(x, replicated(mesh)), pipe.params["vae"]
+        )
+        old_rev, old_vae = pipe.params["reverse"], pipe.params["vae"]
+        pipe.params["reverse"], pipe.params["vae"] = sharded, vae_rep
+        pipe._jit_cache.clear()
+        try:
+            with mesh:
+                imgs_tp, _ = pipe.generate(prompts, key=key)
+        finally:
+            pipe.params["reverse"], pipe.params["vae"] = old_rev, old_vae
+            pipe._jit_cache.clear()
+        np.testing.assert_allclose(
+            np.asarray(imgs_tp), np.asarray(imgs_ref), atol=2e-5, rtol=1e-4
+        )
