@@ -206,12 +206,40 @@ class PatchSequenceViT(nn.Module):
         return x.astype(jnp.float32)
 
 
+def _text_mask_from_ids(ids: np.ndarray, tokenizer) -> np.ndarray:
+    """Attention mask over the padded token ids.
+
+    The reference scores with the HF tokenizer's `attention_mask`
+    (padding='max_length', 35 tokens), so [PAD] positions must not be
+    attended. BERT's pad id is 0, which can collide with a real id in
+    reduced test vocabs — so when the tokenizer exposes `sep_id`, the
+    position of the last [SEP] defines the valid span instead of the pad
+    value (BLIP pads strictly after [SEP])."""
+    pos = np.arange(ids.shape[1])[None, :]
+    sep = getattr(tokenizer, "sep_id", None)
+    if sep is not None:
+        is_sep = ids == sep
+        last = np.where(
+            is_sep.any(axis=1), (is_sep * pos).max(axis=1), ids.shape[1] - 1
+        )
+        return pos <= last[:, None]
+    pad = getattr(tokenizer, "pad_id", getattr(tokenizer, "pad_token_id", None))
+    if pad is None:
+        return np.ones(ids.shape, bool)
+    mask = ids != pad
+    mask[:, 0] = True  # CLS is always valid even if its id equals pad
+    return mask
+
+
 def make_image_reward_fn(module: ImageReward, params, tokenizer):
     """Adapter producing the `Evaluators.image_reward_fn` signature."""
-    apply = jax.jit(lambda p, im, ids: module.apply(p, im, ids))
+    apply = jax.jit(lambda p, im, ids, m: module.apply(p, im, ids, m))
 
     def fn(images01, prompts: Sequence[str]):
-        ids = jnp.asarray(tokenizer(list(prompts)))
-        return np.asarray(apply(params, jnp.asarray(images01), ids))
+        ids = np.asarray(tokenizer(list(prompts)))
+        mask = jnp.asarray(_text_mask_from_ids(ids, tokenizer))
+        return np.asarray(
+            apply(params, jnp.asarray(images01), jnp.asarray(ids), mask)
+        )
 
     return fn

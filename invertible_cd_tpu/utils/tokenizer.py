@@ -21,6 +21,7 @@ import gzip
 import html
 import json
 import os
+import unicodedata
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -279,20 +280,53 @@ class BertWordPieceTokenizer:
         self.sep_id = self.vocab.get("[SEP]", 102)
         self.unk_id = self.vocab.get("[UNK]", 100)
 
+    @staticmethod
+    def _is_punct(ch: str) -> bool:
+        """BERT punctuation: the four ASCII symbol ranges plus every
+        unicode P* category char (this is broader than string.punctuation —
+        e.g. '$' is range-punct but '£' is category Sc and is NOT split)."""
+        cp = ord(ch)
+        if (
+            33 <= cp <= 47 or 58 <= cp <= 64
+            or 91 <= cp <= 96 or 123 <= cp <= 126
+        ):
+            return True
+        return unicodedata.category(ch).startswith("P")
+
+    @staticmethod
+    def _is_cjk(cp: int) -> bool:
+        return (
+            0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F
+        )
+
     def _basic_tokens(self, text: str):
+        """BERT-uncased basic tokenization: lowercase, NFD accent
+        stripping (drop combining marks), CJK codepoints as single-char
+        tokens, punctuation split into its own tokens."""
         text = whitespace_clean(basic_clean(text)).lower()
+        text = "".join(
+            ch for ch in unicodedata.normalize("NFD", text)
+            if unicodedata.category(ch) != "Mn"
+        )
         out, word = [], []
+
+        def flush():
+            if word:
+                out.append("".join(word))
+                word.clear()
+
         for ch in text:
-            if ch.isalnum():
-                word.append(ch)
+            if ch.isspace():
+                flush()
+            elif self._is_punct(ch) or self._is_cjk(ord(ch)):
+                flush()
+                out.append(ch)
             else:
-                if word:
-                    out.append("".join(word))
-                    word = []
-                if not ch.isspace():
-                    out.append(ch)
-        if word:
-            out.append("".join(word))
+                word.append(ch)
+        flush()
         return out
 
     def _wordpiece(self, word: str):

@@ -405,3 +405,30 @@ class TestBertWordPieceTokenizer:
         expect = [v["[CLS]"], v["a"], v["un"], v["##believ"], v["##able"],
                   v["cat"], v[","], 1, v["[SEP]"], v["[PAD]"]]
         assert ids.tolist()[0] == expect
+
+    def test_accent_stripping_and_cjk(self):
+        """BERT-uncased basic tokenization: NFD accent stripping and
+        single-char CJK tokens (the HF tokenizer the reference's
+        image_reward package uses does both)."""
+        from invertible_cd_tpu.utils.tokenizer import BertWordPieceTokenizer
+
+        vocab = {t: i for i, t in enumerate(
+            ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "cafe", "au", "lait",
+             "猫", "犬", "$", "5"]
+        )}
+        tok = BertWordPieceTokenizer(vocab, max_len=12)
+        v = vocab
+        # café → cafe (composed and decomposed accents both strip)
+        ids = tok(["café au lait", "café"])
+        assert ids.tolist()[0][:5] == [
+            v["[CLS]"], v["cafe"], v["au"], v["lait"], v["[SEP]"]
+        ]
+        assert ids.tolist()[1][:3] == [v["[CLS]"], v["cafe"], v["[SEP]"]]
+        # adjacent CJK chars split into single-char tokens
+        ids = tok(["猫犬"])
+        assert ids.tolist()[0][:4] == [
+            v["[CLS]"], v["猫"], v["犬"], v["[SEP]"]
+        ]
+        # '$' is BERT range-punctuation -> its own token even glued to digits
+        ids = tok(["$5"])
+        assert ids.tolist()[0][:4] == [v["[CLS]"], v["$"], v["5"], v["[SEP]"]]

@@ -160,3 +160,71 @@ class TestImageReward:
         fn = make_image_reward_fn(model, params, tok)
         out = fn(np.asarray(imgs), ["a cat", "a dog"])
         assert out.shape == (2,)
+
+
+class TestImageRewardTextMask:
+    def test_mask_from_sep_position(self):
+        """The valid span is defined by the last [SEP], not the pad value:
+        BERT's pad id is 0, which reduced vocabs can collide with."""
+        from invertible_cd_tpu.metrics.image_reward import _text_mask_from_ids
+
+        class Tok:
+            sep_id = 3
+            pad_id = 0
+
+        ids = np.array([
+            [2, 9, 0, 3, 0, 0],   # real token id 0 inside the span
+            [2, 3, 0, 0, 0, 0],
+            [2, 9, 9, 9, 9, 9],   # no SEP (truncated): everything valid
+        ])
+        m = _text_mask_from_ids(ids, Tok())
+        assert m.tolist() == [
+            [True, True, True, True, False, False],
+            [True, True, False, False, False, False],
+            [True] * 6,
+        ]
+
+    def test_pad_fallback_without_sep(self):
+        from invertible_cd_tpu.metrics.image_reward import _text_mask_from_ids
+
+        class Tok:
+            pad_token_id = 7
+
+        ids = np.array([[1, 2, 7, 7], [7, 2, 3, 4]])
+        m = _text_mask_from_ids(ids, Tok())
+        assert m.tolist() == [
+            [True, True, False, False],
+            [True, True, True, True],  # position 0 always valid
+        ]
+
+    def test_masked_scores_ignore_pad(self):
+        """Scores must not change when garbage lands in [PAD] positions —
+        the reference passes the tokenizer attention_mask (ADVICE r2)."""
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from invertible_cd_tpu.metrics.image_reward import (
+            BertConfig, ImageReward,
+        )
+        from invertible_cd_tpu.metrics.vit import ViTConfig
+
+        vcfg = dc.replace(ViTConfig.tiny(), projection_dim=None)
+        bcfg = BertConfig.tiny(encoder_width=vcfg.hidden_size)
+        model = ImageReward(vcfg, bcfg)
+        rng = np.random.default_rng(1)
+        imgs = jnp.asarray(rng.uniform(size=(1, 28, 28, 3)), jnp.float32)
+        ids = np.full((1, 12), 0, np.int32)
+        ids[0, :4] = [2, 50, 60, 3]
+        mask = jnp.asarray(np.arange(12)[None, :] < 4)
+        params = model.init(jax.random.PRNGKey(0), imgs, jnp.asarray(ids))
+        a = model.apply(params, imgs, jnp.asarray(ids), mask)
+        ids2 = ids.copy()
+        ids2[0, 6:] = 123  # garbage in masked positions
+        b = model.apply(params, imgs, jnp.asarray(ids2), mask)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        # and without the mask the garbage DOES leak (the r2 bug)
+        c = model.apply(params, imgs, jnp.asarray(ids))
+        d = model.apply(params, imgs, jnp.asarray(ids2))
+        assert abs(float(c[0]) - float(d[0])) > 1e-8
