@@ -55,13 +55,22 @@ class TestTensorParallel:
 
         mesh = make_mesh(dp=1, fsdp=1, tp=2, devices=jax.devices()[:2])
         specs = param_sharding(pipe.params["reverse"], mesh)
-        # the tp rules must actually fire on the attention kernels
+        # the tp rules must actually fire on the attention AND FF kernels
         flat = jax.tree_util.tree_leaves_with_path(specs)
-        tp_specs = [
-            s.spec for p, s in flat
-            if any(getattr(k, "key", "") in ("to_q", "to_out_0") for k in p)
-        ]
-        assert any(s == P(None, "tp") or s == P("tp", None) for s in tp_specs)
+
+        def specs_for(*owners):
+            return [
+                s.spec for p, s in flat
+                if any(getattr(k, "key", "") in owners for k in p)
+            ]
+
+        assert any(
+            s in (P(None, "tp"), P("tp", None))
+            for s in specs_for("to_q", "to_out_0")
+        )
+        # FF pair (VERDICT r2 item 8): GEGLU up-proj column-, net_2 row-sharded
+        assert P(None, "tp") in specs_for("proj")
+        assert P("tp", None) in specs_for("net_2")
 
         sharded = jax.tree.map(
             jax.device_put, pipe.params["reverse"], specs
