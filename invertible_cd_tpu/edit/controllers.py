@@ -282,6 +282,19 @@ def edit_attention(
 # ---------------------------------------------------------------------------
 # LocalBlend (reference p2p.py:18-70)
 # ---------------------------------------------------------------------------
+def _nearest_resize(m, out_hw):
+    """torch `nnf.interpolate(mode='nearest')` semantics: src index =
+    floor(dst * src / dst_size). jax.image.resize's nearest samples pixel
+    CENTERS (round((i+0.5)*scale - 0.5)) — off by one relative to torch,
+    which the un-pooled substruct mask exposes (caught by
+    tests/test_controller_oracle.py)."""
+    sh, sw = m.shape[2], m.shape[3]
+    oh, ow = out_hw
+    ri = (jnp.arange(oh) * sh) // oh
+    ci = (jnp.arange(ow) * sw) // ow
+    return m[:, :, ri[:, None], ci[None, :]]
+
+
 def _blend_mask(maps, word_mask, th: float, use_pool: bool, out_hw):
     """maps: (B, L, 1, 16, 16, 77); word_mask: (B,1,1,1,1,77) -> bool (B,1,H,W).
 
@@ -294,7 +307,7 @@ def _blend_mask(maps, word_mask, th: float, use_pool: bool, out_hw):
             m, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 1, 1),
             [(0, 0), (0, 0), (1, 1), (1, 1)],
         )
-    m = jax.image.resize(m, (m.shape[0], 1) + out_hw, method="nearest")
+    m = _nearest_resize(m, out_hw)
     m = m / jnp.max(m, axis=(2, 3), keepdims=True)
     mask = m > th
     return mask[:1] | mask
@@ -350,15 +363,22 @@ class ControllerRuntime:
         spec = self.spec
 
         def hook(probs: jax.Array, meta: AttnMeta) -> jax.Array:
+            # The reference appends the attention tensor to its store and
+            # THEN mutates it in place through a reshape view
+            # (AttentionStore.forward at p2p.py:145-149 runs first, the
+            # edit writes into `attn[1:]` at p2p.py:199-206 afterwards),
+            # so the stored maps — including what LocalBlend reads — are
+            # POST-edit. Verified by tests/test_controller_oracle.py.
+            edited = edit_attention(spec, self.arrays, probs, meta, step)
             if spec.store_all and meta.query_len <= STORE_MAX_TOKENS:
-                self.store.setdefault(meta.store_key, []).append(probs)
+                self.store.setdefault(meta.store_key, []).append(edited)
             if (
                 spec.local_blend
                 and meta.is_cross
                 and meta.query_len == BLEND_RES * BLEND_RES
             ):
-                self._step_maps.append(probs.astype(jnp.float32))
-            return edit_attention(spec, self.arrays, probs, meta, step)
+                self._step_maps.append(edited.astype(jnp.float32))
+            return edited
 
         return hook
 
