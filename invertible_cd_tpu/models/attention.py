@@ -55,6 +55,20 @@ class AttnMeta:
 AttnHook = Callable[[jax.Array, AttnMeta], jax.Array]
 
 
+def _ambient_tp() -> int:
+    """Size of the ambient mesh's "tp" axis at trace time (1 when tracing
+    outside any `with mesh:` context)."""
+    try:
+        from jax.interpreters import pxla
+
+        mesh = pxla.thread_resources.env.physical_mesh
+        if not mesh.empty:
+            return int(mesh.shape.get("tp", 1))
+    except Exception:
+        pass
+    return 1
+
+
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Fused softmax attention; q/k/v are (B, S, H, D).
 
@@ -74,10 +88,31 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     on_tpu = jax.default_backend() not in ("cpu",)
     d = q.shape[-1]
     sq = q.shape[1]
+    sk = k.shape[1]
+    # Long SELF-attention only (all measured, bench_kernels.py on v5e):
+    #   - sq=sk>=1024 aligned dims (SDXL d=64): kernel wins 2.0-2.9x.
+    #   - padded dims (SD1.5 d=80 -> 128) win 2.3x at 1024 tokens, but at
+    #     4096 tokens the pad waste (d=40 -> 64) loses to XLA's fused
+    #     attention (9.1 vs 7.1 ms at batch 16) -> stay on XLA there.
+    #   - cross-attention (77 keys): per-tile overhead loses 10x to XLA's
+    #     single fused matmul -> always XLA.
+    # d <= 256 keeps the full K/V block within VMEM.
+    aligned = d % 64 == 0
     use = (
         mode == "1"
-        or (mode == "auto" and on_tpu and d % 64 == 0 and sq >= 1024)
+        or (
+            mode == "auto" and on_tpu and d <= 256
+            and sq >= 1024 and sk >= 1024
+            and (aligned or sq < 4096)
+        )
     )
+    if use and _ambient_tp() > 1:
+        # Megatron head sharding (parallel/mesh.py) splits q/k/v on the
+        # head axis; pallas_call is a custom call with no partitioning
+        # rule, so under tp>1 XLA would all-gather the heads and defeat
+        # the sharding. XLA's fused attention partitions the (B,S,H,D)
+        # einsums natively — the head-parallel path stays head-parallel.
+        use = False
     if use:
         from ..ops.flash_attention import flash_attention
 

@@ -18,6 +18,8 @@ def _ref(q, k, v):
         (256, 256, 2, 40),   # SD1.5 self-attention shape family
         (64, 77, 2, 40),     # cross-attention (padded Sk)
         (128, 128, 1, 64),
+        (128, 128, 2, 80),   # SD1.5 32x32 head dim (pads 80 -> 128)
+        (64, 64, 1, 160),    # SD1.5 16x16 head dim (pads 160 -> 192)
     ],
 )
 def test_matches_xla(sq, sk, h, d):
@@ -77,7 +79,8 @@ def _grads(fn, q, k, v):
     [
         (512, 512, 2, 64),  # SDXL self-attention shape family (d=64)
         (128, 77, 2, 64),   # SDXL cross-attention (ragged Sk=77)
-        (256, 256, 1, 40),  # SD1.5 head_dim
+        (256, 256, 1, 40),  # SD1.5 head_dim (pad path: 40 -> 64)
+        (128, 128, 1, 80),  # SD1.5 32x32 head dim (pad path: 80 -> 128)
     ],
 )
 def test_grad_matches_xla(sq, sk, h, d):
