@@ -121,6 +121,21 @@ def parse_args(argv=None):
                         "render each validation step")
     p.add_argument("--validation_batch", type=int, default=4)
     p.add_argument("--validation_guidance", type=float, default=7.0)
+    p.add_argument("--inversion_validation_samples", type=int, default=4,
+                   help="triptych panels (decoded noise latent / original / "
+                        "reconstruction) from the live forward+reverse "
+                        "students each validation step; 0 disables "
+                        "(reference log_validation_inversion, "
+                        "training/src/forward_eval.py:96-191)")
+    p.add_argument("--inversion_eval_steps", type=int, default=0,
+                   help="run the forward-student eval (latent recon-MSE + "
+                        "recon-FID when --fid_stats/--inception_weights are "
+                        "set) every N steps (reference eval_inversion, "
+                        "training/src/forward_eval.py:259-342)")
+    p.add_argument("--inversion_eval_samples", type=int, default=32)
+    p.add_argument("--val_data_subset", default="val",
+                   help="captions CSV subset used for the inversion eval "
+                        "(reference uses the COCO val split)")
     p.add_argument("--platform", default=None, help="cpu|tpu backend override (cpu needed for smoke tests in tunneled-TPU containers)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fsdp", type=int, default=1)
@@ -343,6 +358,7 @@ def log_validation(logger, pipe, base, state, tcfg, solver, step, args):
     pipe._jit_cache.clear()
     g = pipe.default_guidance(guidance_scale=args.validation_guidance)
     try:
+        stds = []
         for prompt in VALIDATION_PROMPTS[: args.validation_prompts_max]:
             imgs, _ = pipe.generate(
                 [prompt] * args.validation_batch,
@@ -351,12 +367,146 @@ def log_validation(logger, pipe, base, state, tcfg, solver, step, args):
             logger.log_images(
                 step, f"validation/{prompt[:48]}", np.asarray(imgs)
             )
-        logger.log(step, {"validation_image_std": float(np.std(np.asarray(imgs)))})
+            stds.append(float(np.std(np.asarray(imgs))))
+        if stds:  # --validation_prompts_max 0 renders nothing
+            logger.log(step, {"validation_image_std": float(np.mean(stds))})
     finally:
         if old_reverse is not None:
             pipe.params["reverse"] = old_reverse
         pipe.grid = old_grid
         pipe._jit_cache.clear()
+
+
+def _merged_student(pipe, base, state, tcfg, which):
+    """Merge one live student's LoRA into the base params, returning a
+    params tree shaped like pipe.params entries."""
+    from invertible_cd_tpu.models.lora import merge_lora
+
+    inner = base["params"] if "params" in base else base
+    lora = state.lora_reverse if which == "reverse" else state.lora_forward
+    merged = merge_lora(
+        inner, jax.device_get(lora), alpha=tcfg.lora_alpha, rank=tcfg.lora_rank
+    )
+    return {"params": merged} if "params" in base else merged
+
+
+def _roundtrip_fns(pipe, solver, w_embed_dim):
+    """jit-compiled latent-level invert (forward student) / reconstruct
+    (reverse student) on the training endpoint grid, both at guidance 0
+    (the reference evaluates inversion only for unguided processes in both
+    directions, forward_eval.py:101-104,148-151)."""
+    from invertible_cd_tpu.pipelines import sampler as S
+    from invertible_cd_tpu.training.eval import grid_from_train_solver
+
+    grid = grid_from_train_solver(solver)
+    g = S.GuidanceConfig(guidance_scale=0.0, w_embed_dim=w_embed_dim)
+
+    @jax.jit
+    def invert(fwd_params, latents, noise, ctx):
+        return S.cons_inversion(
+            pipe._noise_model(fwd_params), latents, noise, ctx, ctx,
+            grid, pipe.schedule, g,
+        )
+
+    @jax.jit
+    def reconstruct(rev_params, noise_latents, ctx):
+        return S.cons_generation(
+            pipe._noise_model(rev_params), noise_latents, ctx, ctx,
+            grid, pipe.schedule, g,
+        )
+
+    return invert, reconstruct
+
+
+def collect_val_batch(args, cfg, latent_size, pipe, n):
+    """n validation samples as {"latents", "context"} — VAE/CLIP-encoded
+    from the --val_data_subset captions CSV, or deterministic synthetic
+    tensors in --synthetic_data mode."""
+    if args.synthetic_data or args.data_root is None:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed + 999))
+        return {
+            "latents": jax.random.normal(k1, (n, latent_size, latent_size, 4)),
+            "context": 0.1 * jax.random.normal(
+                k2, (n, 77, cfg.cross_attention_dim)
+            ),
+        }
+    from invertible_cd_tpu.data import ImageCaptionDataset
+
+    ds = ImageCaptionDataset(args.data_root, args.val_data_subset, args.resolution)
+    imgs, caps = zip(*(ds[i] for i in range(min(n, len(ds)))))
+    lat = pipe._encode_image(pipe.params["vae"], jnp.asarray(np.stack(imgs)))
+    _, ctx = pipe.encode_prompt(list(caps))
+    return {"latents": lat, "context": ctx}
+
+
+def log_validation_inversion(logger, pipe, base, state, tcfg, solver, step, args, val_batch):
+    """Inversion triptych panels from the live students (reference
+    `log_validation_inversion`, training/src/forward_eval.py:96-191): for
+    each val sample log [VAE-decoded noise latent, original, forward+reverse
+    reconstruction], all from one forward->reverse round trip."""
+    fwd = _merged_student(pipe, base, state, tcfg, "forward")
+    rev = _merged_student(pipe, base, state, tcfg, "reverse")
+    invert, reconstruct = _roundtrip_fns(pipe, solver, pipe.w_embed_dim)
+    lat = val_batch["latents"]
+    ctx = val_batch["context"].astype(lat.dtype)
+    noise = jax.random.normal(jax.random.PRNGKey(args.seed), lat.shape, lat.dtype)
+    noisy = invert(fwd, lat, noise, ctx)
+    recon = reconstruct(rev, noisy, ctx)
+    dec = pipe._get_jit("decode")
+    vae = pipe.params["vae"]
+    panel = np.stack(
+        [
+            np.asarray(dec(vae, noisy)),   # decoded noise latent
+            np.asarray(dec(vae, lat)),     # original
+            np.asarray(dec(vae, recon)),   # n-step reconstruction
+        ],
+        axis=1,
+    )  # (B, 3, H, W, C)
+    for i in range(panel.shape[0]):
+        logger.log_images(step, f"inversion/sample_{i}", panel[i])
+    mse = float(np.mean((np.asarray(recon) - np.asarray(lat)) ** 2))
+    logger.log(step, {"inversion_panel_latent_mse": mse})
+    return mse
+
+
+def run_inversion_eval(args, state, pipe, base, tcfg, solver, val_batch):
+    """Forward-student eval on cadence: latent recon-MSE over the val set,
+    plus recon-FID when the FID artifacts are configured (reference trainer
+    wiring, train_icd_sd15_lora.py:1085-1096)."""
+    from invertible_cd_tpu.training.eval import eval_inversion
+
+    fwd = _merged_student(pipe, base, state, tcfg, "forward")
+    rev = _merged_student(pipe, base, state, tcfg, "reverse")
+    invert, reconstruct = _roundtrip_fns(pipe, solver, pipe.w_embed_dim)
+    lat = val_batch["latents"]
+    ctx = val_batch["context"].astype(lat.dtype)
+
+    def invert_fn(chunk, key, c):
+        noise = jax.random.normal(key, chunk.shape, chunk.dtype)
+        return invert(fwd, chunk, noise, c)
+
+    def reconstruct_fn(noisy, key, c):
+        return reconstruct(rev, noisy, c)
+
+    decode_fn = scorer = None
+    if args.fid_stats and args.inception_weights:
+        from invertible_cd_tpu.metrics import FIDScorer
+        from invertible_cd_tpu.models.convert import (
+            convert_inception_weights, load_torch_file,
+        )
+
+        scorer = FIDScorer(
+            convert_inception_weights(load_torch_file(args.inception_weights))
+        )
+        dec = pipe._get_jit("decode")
+        decode_fn = lambda z: dec(pipe.params["vae"], z)  # noqa: E731
+    return eval_inversion(
+        invert_fn, reconstruct_fn, lat,
+        batch_size=min(8, lat.shape[0]),
+        decode_fn=decode_fn, scorer=scorer,
+        reference_stats_path=args.fid_stats,
+        val_context=ctx,
+    )
 
 
 def run_fid_eval(args, state, pipe):
@@ -423,6 +573,14 @@ def main(argv=None):
         ),
     )
     mesh = make_mesh(fsdp=args.fsdp)
+    dp = int(mesh.shape["dp"])
+    if args.batch_size % dp != 0:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} is not divisible by the data-"
+            f"parallel axis dp={dp} ({len(jax.devices())} devices / "
+            f"fsdp={args.fsdp}). Pick a batch size that is a multiple of "
+            f"{dp}, or raise --fsdp so dp shrinks."
+        )
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
 
     with mesh:
@@ -464,6 +622,15 @@ def main(argv=None):
             args, cfg, latent_size, pipe=encoder_pipe() if needs_data_pipe else None
         )
 
+        def val_batch(n):
+            """Fixed val set for the inversion eval/panels, encoded once."""
+            if _pipe_cache.get("val_n", 0) < n:
+                _pipe_cache["val"] = collect_val_batch(
+                    args, cfg, latent_size, encoder_pipe(), n
+                )
+                _pipe_cache["val_n"] = n
+            return jax.tree.map(lambda x: x[:n], _pipe_cache["val"])
+
         t0 = time.time()
         start = int(state.step)
         for i in range(start, args.max_steps):
@@ -486,11 +653,29 @@ def main(argv=None):
                 fid = run_fid_eval(args, state, encoder_pipe())
                 logger.log(i + 1, {"fid": fid}, prefix="eval/")
                 print(f"step {i + 1}: FID = {fid:.3f}")
+            if (
+                args.inversion_eval_steps
+                and (i + 1) % args.inversion_eval_steps == 0
+            ):
+                out = run_inversion_eval(
+                    args, state, encoder_pipe(), base, tcfg, solver,
+                    val_batch(args.inversion_eval_samples),
+                )
+                logger.log(i + 1, out, prefix="eval/")
+                print(f"step {i + 1}: " + " ".join(
+                    f"{k}={v:.5f}" for k, v in sorted(out.items())
+                ))
             if args.validation_steps and (i + 1) % args.validation_steps == 0:
                 log_validation(
                     logger, encoder_pipe(), base, state, tcfg, solver,
                     i + 1, args,
                 )
+                if args.inversion_validation_samples:
+                    log_validation_inversion(
+                        logger, encoder_pipe(), base, state, tcfg, solver,
+                        i + 1, args,
+                        val_batch(args.inversion_validation_samples),
+                    )
             if (i + 1) % args.checkpointing_steps == 0 or i + 1 == args.max_steps:
                 save_checkpoint(ckpt_dir, state, keep=args.checkpoints_total_limit)
                 export_inference(

@@ -133,6 +133,7 @@ def eval_inversion(
     scorer=None,
     reference_images=None,
     reference_stats_path: Optional[str] = None,
+    val_context: Optional[jax.Array] = None,
 ) -> Dict[str, float]:
     """Forward->reverse round trip over a val set (C26 `eval_inversion`,
     forward_eval.py:259-342): latent recon-MSE, plus — when `decode_fn`
@@ -141,14 +142,23 @@ def eval_inversion(
     (reference `fid_score_cm`, forward_eval.py:296-341).
 
     `invert_fn(latents, key) -> noise latents`;
-    `reconstruct_fn(noise_latents, key) -> latents`."""
+    `reconstruct_fn(noise_latents, key) -> latents`.
+    With `val_context` (per-sample text context, sliced in lockstep with
+    the latents — the reference inverts each COCO image under its own
+    caption, forward_eval.py:267-270), both callables receive the context
+    chunk as a third argument."""
     mses = []
     recon_images = []
     for i in range(0, val_latents.shape[0], batch_size):
         chunk = val_latents[i : i + batch_size]
         key = jax.random.PRNGKey(i)
-        inv = invert_fn(chunk, key)
-        rec = reconstruct_fn(inv, key)
+        if val_context is not None:
+            ctx = val_context[i : i + batch_size]
+            inv = invert_fn(chunk, key, ctx)
+            rec = reconstruct_fn(inv, key, ctx)
+        else:
+            inv = invert_fn(chunk, key)
+            rec = reconstruct_fn(inv, key)
         mses.append(
             np.mean((np.asarray(rec) - np.asarray(chunk)) ** 2, axis=(1, 2, 3))
         )
