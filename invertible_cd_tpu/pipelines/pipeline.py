@@ -129,11 +129,20 @@ class InvertibleCD:
         fn = self._get_jit("encode_text")
         return fn(self.params["text"], uncond), fn(self.params["text"], tokens)
 
-    def _encode_all(self, prompts: Sequence[str]):
+    def _encode_all(self, prompts: Sequence[str], need_uncond: bool = True):
         """(ctx_uncond, ctx_cond, added_cond) — overridden by the SDXL
-        pipeline to supply pooled-text + time-id added conditioning."""
-        ctx_u, ctx_c = self.encode_prompt(prompts)
-        return ctx_u, ctx_c, {}
+        pipeline to supply pooled-text + time-id added conditioning.
+
+        `need_uncond=False` skips the "" CLIP pass: the w-conditioned
+        sampler never reads context_uncond (predict_noise runs cond rows
+        only), and on the tunneled chip one CLIP call is ~36 ms of the
+        ~845 ms batch-16 generate — measured by tools/profile_gen.py."""
+        if need_uncond:
+            ctx_u, ctx_c = self.encode_prompt(prompts)
+            return ctx_u, ctx_c, {}
+        tokens = jnp.asarray(self.tokenizer(list(prompts)))
+        ctx_c = self._get_jit("encode_text")(self.params["text"], tokens)
+        return ctx_c, ctx_c, {}
 
     # ------------------------------------------------------------------
     # Jit program factory
@@ -277,7 +286,9 @@ class InvertibleCD:
         if isinstance(prompts, str):
             prompts = [prompts]
         g = guidance or self.default_guidance()
-        ctx_u, ctx_c, added = self._encode_all(prompts)
+        ctx_u, ctx_c, added = self._encode_all(
+            prompts, need_uncond=g.w_embed_dim <= 0
+        )
         ctx_amp = ctx_c
         if amplify_prompt is not None:
             if isinstance(amplify_prompt, str):
@@ -285,7 +296,7 @@ class InvertibleCD:
             amplify_prompt = list(amplify_prompt)
             if len(amplify_prompt) == 1 and len(prompts) > 1:
                 amplify_prompt = amplify_prompt * len(prompts)
-            _, ctx_amp, _ = self._encode_all(amplify_prompt)
+            _, ctx_amp, _ = self._encode_all(amplify_prompt, need_uncond=False)
         if latent is None:
             latent = self.init_latent((key if key is not None else jax.random.PRNGKey(0)), len(prompts))
         spec, arrays = controller if controller else (None, None)
@@ -318,7 +329,9 @@ class InvertibleCD:
         # cons_inversion), so inversion must keep the w-embedding pathway
         # active with w = 0 — not drop it.
         g = guidance or self.default_guidance(guidance_scale=0.0)
-        ctx_u, ctx_c, added = self._encode_all([prompt] * pixels.shape[0])
+        ctx_u, ctx_c, added = self._encode_all(
+            [prompt] * pixels.shape[0], need_uncond=g.w_embed_dim <= 0
+        )
         if noise is None:
             h, w = self.latent_size
             noise = jax.random.normal(

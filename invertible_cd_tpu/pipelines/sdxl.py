@@ -138,7 +138,9 @@ class InvertibleCDXL(InvertibleCD):
         row = jnp.asarray([o[0], o[1], crop[0], crop[1], t[0], t[1]], jnp.float32)
         return jnp.broadcast_to(row, (batch, 6))
 
-    def _encode_all(self, prompts: Sequence[str]):
+    def _encode_all(self, prompts: Sequence[str], need_uncond: bool = True):
+        # need_uncond is free here: SDXL's uncond context is zeros, not a
+        # second encoder pass (see below).
         ctx_c, pooled_c = self.encode_prompt_xl(prompts)
         # SDXL zeroes the uncond context instead of encoding "" (diffusers
         # force_zeros_for_empty_prompt; reference trains with
