@@ -152,6 +152,63 @@ def bench_edit():
     }
 
 
+def bench_edit_sweep():
+    """config 2b: PieBench-style sweep — N distinct edit rows (different
+    prompts, blend words, images) through ONE compiled program pair
+    (invert + controller-hooked generate). The reference re-runs its eager
+    per-row loop (`running/sd1.5/edit.py:353-458`); here row 1 pays the
+    compile and rows 2..N reuse it because controller data (mappers,
+    alphas, equalizers) are traced inputs, not trace constants."""
+    from invertible_cd_tpu.edit import make_controller
+    from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
+
+    pipe = InvertibleCD.sd15(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+
+    animals = ["cat", "dog", "fox", "owl", "pig", "rat", "cow", "hen",
+               "bee", "ant", "elk", "bat", "yak", "ram", "jay", "koi",
+               "doe", "sow", "cub", "kit"]
+    rows = []
+    for i, a in enumerate(animals):
+        src = "a photo of a corgi on the beach"
+        tgt = f"a photo of a {a} on the beach"
+        img = rng.integers(0, 255, (512, 512, 3), np.uint8)
+        ctrl = make_controller(
+            [src, tgt], pipe.tokenizer, num_steps=pipe.grid.num_reverse_steps,
+            is_replace_controller=True, cross_replace_steps=0.6,
+            self_replace_steps=0.4, blend_words=[["corgi"], [a]],
+        )
+        rows.append((img, src, tgt, ctrl))
+    g = pipe.default_guidance(
+        guidance_scale=19.0, dynamic_guidance=True, tau1=0.8, tau2=0.8,
+        edit_pair=True,
+    )
+
+    def run_row(row):
+        img, src, tgt, ctrl = row
+        out, _ = pipe.edit(img, src, tgt, ctrl, guidance=g)
+        _fence(out)
+
+    run_row(rows[0])  # row 1: compile
+    programs_after_first = len(pipe._jit_cache)
+    t0 = time.perf_counter()
+    for row in rows[1:]:
+        run_row(row)
+    dt = time.perf_counter() - t0
+    assert len(pipe._jit_cache) == programs_after_first, (
+        f"sweep recompiled: {programs_after_first} -> {len(pipe._jit_cache)} "
+        "programs"
+    )
+    rows_per_min = 60.0 * (len(rows) - 1) / dt
+    # reference per-row cost ~ REF_EDIT_SEC on A100 fp16 -> rows/min
+    return {
+        "metric": "icd_sd15_edit_sweep_throughput",
+        "value": round(rows_per_min, 2),
+        "unit": "rows/min",
+        "vs_baseline": round(rows_per_min / (60.0 / REF_EDIT_SEC), 3),
+    }
+
+
 def bench_sdxl():
     from invertible_cd_tpu.pipelines.sdxl import InvertibleCDXL
 
@@ -269,12 +326,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode", default="gen",
-        choices=["gen", "latency", "edit", "sdxl", "train"],
+        choices=["gen", "latency", "edit", "edit_sweep", "sdxl", "train"],
     )
     args = ap.parse_args()
     result = {
         "gen": bench_gen, "latency": bench_latency, "edit": bench_edit,
-        "sdxl": bench_sdxl, "train": bench_train,
+        "edit_sweep": bench_edit_sweep, "sdxl": bench_sdxl,
+        "train": bench_train,
     }[args.mode]()
     print(json.dumps(result))
 

@@ -124,6 +124,15 @@ class TestEdit:
         img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
         pipe.edit(img, "a cat", "a dog", ctrl1)
         n_compiled = len(pipe._jit_cache)
+
+        def trace_counts():
+            return {
+                key: fn._cache_size()
+                for key, fn in pipe._jit_cache.items()
+                if hasattr(fn, "_cache_size")
+            }
+
+        before = trace_counts()
         ctrl2 = make_controller(
             ["a boat", "a car"], pipe.tokenizer, num_steps=4,
             is_replace_controller=True, cross_replace_steps=0.8,
@@ -131,6 +140,10 @@ class TestEdit:
         )
         pipe.edit(img, "a boat", "a car", ctrl2)
         assert len(pipe._jit_cache) == n_compiled
+        # and no silent re-trace inside the cached programs either: row 2
+        # adds ZERO new XLA traces (the 1-compile/N-row sweep claim,
+        # bench.py --mode edit_sweep)
+        assert trace_counts() == before
 
 
 class TestAttentionStore:
