@@ -180,3 +180,66 @@ def test_inversion_parity_and_lpips_north_star(pack, pipe):
             model.apply(params, jnp.asarray(pixels01[:1]), imgs)
         )
         assert score <= 0.05, f"LPIPS north star violated: {score}"
+
+
+def test_edit_trajectory_parity(pack, pipe):
+    """Replay the recorded p2p-controlled edit (VERDICT r2 item 3): same
+    inverted latent, same controller config -> the final [source, target]
+    latents and the step-0 16^2 down-cross controller output must match
+    the reference's (running/sd1.5/edit.py:369-458, utils/p2p.py:176-265)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from invertible_cd_tpu.edit import make_controller
+
+    if "edit/latents_3" not in pack:
+        pytest.skip("pack predates the edit section (re-run record_reference)")
+
+    src = str(pack["edit/source"])
+    tgt = str(pack["edit/target"])
+    sw = str(pack["edit/blend_src"]).split()
+    tw = str(pack["edit/blend_tgt"]).split()
+    spec, arrays = make_controller(
+        [src, tgt], pipe.tokenizer, num_steps=4,
+        is_replace_controller=True,
+        cross_replace_steps=float(pack["edit/cross_replace_steps"]),
+        self_replace_steps=float(pack["edit/self_replace_steps"]),
+        blend_words=[sw, tw] if sw else None,
+        equalizer_params={"words": tw, "values": (4.0,) * len(tw)}
+        if tw else None,
+    )
+    spec = dataclasses.replace(spec, store_all=True)
+    g = pipe.default_guidance(
+        guidance_scale=19.0, dynamic_guidance=True, tau1=0.8, tau2=0.8,
+        edit_pair=True,
+    )
+    inv = _nhwc(pack["inv/latents_final"])
+    latent = jnp.asarray(np.broadcast_to(inv, (2,) + inv.shape[1:]))
+    images, final, store = pipe.generate(
+        [src, tgt], latent=latent, guidance=g, controller=(spec, arrays)
+    )
+    n_hops = len([k for k in pack if k.startswith("edit/latents")])
+    want = _nhwc(pack[f"edit/latents_{n_hops - 1}"])
+    err = np.abs(np.asarray(final) - want).max()
+    assert err < 0.1, f"edited latent divergence {err}"
+
+    # controller-modified attention, step 0, first 16^2 down cross layer:
+    # ours is store['down_cross'][2] (call order 1024,1024,256,256 per
+    # step); the reference capture is the post-edit cond half (2h,256,77).
+    if "edit/attn_down16_step0" in pack:
+        maps = [
+            np.asarray(m, np.float32) for m in store.get("down_cross", [])
+            if m.shape[2] == 256
+        ]
+        got = maps[0]  # (2, H, 256, 77)
+        want_map = pack["edit/attn_down16_step0"].reshape(
+            2, -1, 256, want_shape_sk(pack)
+        )
+        assert got.shape == want_map.shape, (got.shape, want_map.shape)
+        err = np.abs(got - want_map).max()
+        assert err < 5e-3, f"controller attention divergence {err}"
+
+
+def want_shape_sk(pack):
+    return pack["edit/attn_down16_step0"].shape[-1]

@@ -23,6 +23,11 @@ What it records (all fp32 numpy):
   inv/noise         cons_inversion start noise, seed 0
                     (reference utils/generation.py:425-427)
   inv/latents_i     forward-CD latent after each hop (generation.py:430-449)
+  edit/*            p2p-controlled edit from the inverted latent: config,
+                    per-hop latents of the [source, target] pair, the
+                    post-edit attention of the first 16^2 down cross layer
+                    at step 0, and the edited image (reference
+                    running/sd1.5/edit.py:369-458, utils/p2p.py:176-265)
 
 Usage (in the weights environment):
   python tools/record_reference.py \
@@ -49,6 +54,9 @@ def main():
     ap.add_argument("--forward_checkpoint", required=True)
     ap.add_argument("--out", default="reference_pack.npz")
     ap.add_argument("--prompt", default="a photo of a corgi on the beach")
+    ap.add_argument("--edit_prompt", default="a photo of a cat on the beach")
+    ap.add_argument("--cross_replace_steps", type=float, default=0.6)
+    ap.add_argument("--self_replace_steps", type=float, default=0.4)
     ap.add_argument("--seed", type=int, default=150)
     args = ap.parse_args()
 
@@ -177,6 +185,73 @@ def main():
             guidance_scale=0.0, w_embed_dim=512, seed=0,
         )
     pack["inv/latents_final"] = inv_traj[-1].float().cpu().numpy()
+
+    # ------------------------------------------------------------------
+    # 5. p2p-controlled edit (the paper's headline capability):
+    #    invert -> Reweight(Replace)+LocalBlend -> 4-hop reverse on the
+    #    [source, target] pair (reference running/sd1.5/edit.py:369-458,
+    #    utils/p2p.py:176-265). Records the controller config, the
+    #    per-hop latents, the controller-modified attention for the first
+    #    16^2 down cross layer at step 0, and the edited image.
+    # ------------------------------------------------------------------
+    from utils import p2p  # reference utils/p2p.py
+
+    src = args.prompt
+    tgt = args.edit_prompt
+    p2p.tokenizer = ldm_stable.tokenizer
+    p2p.device = device
+    p2p.NUM_DDIM_STEPS = 4  # num_reverse_cons_steps (edit.py:400)
+
+    # replacement-style edit (edit.py:410-415): blend + amplify the
+    # changed word pair
+    sw = [a for a, b in zip(src.split(), tgt.split()) if a != b]
+    tw = [b for a, b in zip(src.split(), tgt.split()) if a != b]
+    controller = p2p.make_controller(
+        [src, tgt], True, {"default_": args.cross_replace_steps},
+        args.self_replace_steps,
+        blend_words=(tuple(sw), tuple(tw)) if sw else None,
+        equilizer_params={"words": tuple(tw), "values": (4.0,) * len(tw)}
+        if tw else None,
+    )
+    # capture the post-edit cond-half attention of the first 16^2 down
+    # cross layer at step 0 (the map our store_all replay exposes)
+    captured = {}
+    orig_forward = controller.forward
+
+    def capturing_forward(attn, is_cross, place_in_unet):
+        out = orig_forward(attn, is_cross, place_in_unet)
+        if (
+            is_cross and place_in_unet == "down" and controller.cur_step == 0
+            and attn.shape[1] == 256 and "map" not in captured
+        ):
+            captured["map"] = out.detach().float().cpu().numpy()
+        return out
+
+    controller.forward = capturing_forward
+    p2p.register_attention_control(reverse_cons_model, controller)
+    solver.init_prompt([src, tgt])
+    lat2 = torch.tensor(pack["inv/latents_final"], device=device).expand(
+        2, -1, -1, -1
+    )
+    with torch.no_grad():
+        edit_traj = solver.cons_generation(
+            lat2, guidance_scale=19.0, w_embed_dim=512,
+            dynamic_guidance=True, tau1=0.8, tau2=0.8,
+        )
+    pack["edit/source"] = np.array(src)
+    pack["edit/target"] = np.array(tgt)
+    pack["edit/cross_replace_steps"] = np.array(args.cross_replace_steps)
+    pack["edit/self_replace_steps"] = np.array(args.self_replace_steps)
+    pack["edit/blend_src"] = np.array(" ".join(sw))
+    pack["edit/blend_tgt"] = np.array(" ".join(tw))
+    for i, z in enumerate(edit_traj):
+        pack[f"edit/latents_{i}"] = z.float().cpu().numpy()
+    if "map" in captured:
+        pack["edit/attn_down16_step0"] = captured["map"]
+    with torch.no_grad():
+        edited = solver.latent2image(edit_traj[-1][1:])
+    pack["edit/image"] = np.asarray(edited)
+    p2p.register_attention_control(reverse_cons_model, None)  # uninstall
 
     np.savez_compressed(args.out, **pack)
     print(f"wrote {args.out}: {sorted(pack)}")
