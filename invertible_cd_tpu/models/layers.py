@@ -46,14 +46,24 @@ def sinusoidal_timestep_embedding(
 
 
 class _GroupNormCore(nn.Module):
-    """GroupNorm with fp32 statistics but NO fp32 activation materialisation.
+    """GroupNorm with fp32 statistics but NO fp32 activation materialisation
+    and NO activation relayout.
 
-    The previous form (`nn.GroupNorm(dtype=f32)` on `x.astype(f32)`) wrote
-    a full fp32 copy of the activation to HBM before and after the
-    normalise — at the VAE decoder's 512^2x128 feature maps that is the
-    dominant memory traffic of the whole decode (profile:
-    tools/profile_gen.py). Here the casts fuse into the reductions and the
-    final elementwise, so HBM sees one bf16 read + one bf16 write."""
+    Two layout rules, both profile-driven (tools/profile_ops.py):
+      * never write an fp32 copy of the activation to HBM (the casts fuse
+        into the reductions / the final elementwise);
+      * never reshape the activation to (..., groups, C/groups): C/groups
+        is 10 (UNet) or 4 (VAE) — putting that on the 128-wide lane dim
+        relayouts the whole feature map and ran the statistics reductions
+        at ~26 GB/s. Instead reduce per-CHANNEL moments over space (lane
+        dim stays C), then group-sum the tiny (B, C) result and broadcast
+        per-channel affine coefficients back — the big tensor is touched
+        exactly twice, in its native NHWC layout.
+
+    Variance uses E[x^2] - E[x]^2 in fp32 — for bf16 activations of O(10)
+    magnitude over <=512^2 elements this is well inside the bf16 input
+    quantisation error (differential-tested vs torch GroupNorm in
+    tests/test_unet_vae_parity.py)."""
 
     groups: int
     epsilon: float
@@ -65,15 +75,21 @@ class _GroupNormCore(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         b = x.shape[0]
         gc = c // self.groups
-        xg = x.reshape(b, -1, self.groups, gc)
-        xf = xg.astype(jnp.float32)  # fuses into the reductions below
-        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+        xf = x.reshape(b, -1, c).astype(jnp.float32)  # fuses into reduces
+        n = xf.shape[1] * gc  # elements per group
+        s1 = jnp.sum(xf, axis=1)                      # (B, C)
+        s2 = jnp.sum(jnp.square(xf), axis=1)          # (B, C)
+        gs1 = s1.reshape(b, self.groups, gc).sum(-1)  # (B, G) — tiny
+        gs2 = s2.reshape(b, self.groups, gc).sum(-1)
+        mean = gs1 / n
+        var = jnp.maximum(gs2 / n - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
-        # fold (mean, inv, scale, bias) into one fused a*x + b elementwise
-        a = inv * scale.reshape(1, 1, self.groups, gc)
-        bb = bias.reshape(1, 1, self.groups, gc) - mean * a
-        y = xg.astype(jnp.float32) * a + bb
+        # per-channel affine: broadcast group stats back to C, fold scale
+        mean_c = jnp.repeat(mean, gc, axis=1)         # (B, C)
+        inv_c = jnp.repeat(inv, gc, axis=1)
+        a = inv_c * scale[None, :]
+        bb = bias[None, :] - mean_c * a
+        y = xf * a[:, None, :] + bb[:, None, :]
         return y.reshape(x.shape).astype(x.dtype)
 
 

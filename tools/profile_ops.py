@@ -38,7 +38,7 @@ def classify(name):
     kind = head.rsplit(" ", 1)[-1].lower()
     if kind == "custom-call":
         return "custom-call"
-    if kind.startswith("convolution") or "conv" in opname:
+    if kind.startswith("convolution") or "%convolution" in opname:
         return "convolution"
     if "dot" in kind or "dot" in opname or "einsum" in opname:
         return "dot"
