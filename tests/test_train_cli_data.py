@@ -102,3 +102,33 @@ def test_sdxl_real_data_batch_trains(dataset, tiny_pipe_xl):
         )
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_collect_val_batch_real_data(dataset, tiny_pipe):
+    """The inversion-eval val set (C26) encodes real images + captions
+    through the VAE/CLIP when a data_root is given."""
+    from cli.train_icd import collect_val_batch
+
+    args = _args(
+        model="tiny", data_root=dataset, val_data_subset="train",
+        synthetic_data=False,
+    )
+    out = collect_val_batch(args, tiny_pipe.unet.cfg, 16, tiny_pipe, n=3)
+    assert out["latents"].shape == (3, 16, 16, 4)
+    assert out["context"].shape[0] == 3
+    # distinct captions -> distinct contexts
+    ctx = np.asarray(out["context"])
+    assert not np.array_equal(ctx[0], ctx[1])
+
+
+def test_collect_val_batch_synthetic():
+    """Synthetic mode produces deterministic val tensors (no dataset)."""
+    from cli.train_icd import collect_val_batch
+    from invertible_cd_tpu.models import UNetConfig
+
+    args = _args(model="tiny", data_root=None, synthetic_data=True)
+    cfg = UNetConfig.tiny()
+    a = collect_val_batch(args, cfg, 8, None, n=4)
+    b = collect_val_batch(args, cfg, 8, None, n=4)
+    assert a["latents"].shape == (4, 8, 8, 4)
+    np.testing.assert_array_equal(np.asarray(a["latents"]), np.asarray(b["latents"]))
