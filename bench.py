@@ -14,8 +14,11 @@ Modes (`python bench.py [--mode MODE]`):
   edit           config 2: p50 invert+edit round trip (forward CD + p2p
                  AttentionReplace editing with dynamic tau guidance).
   sdxl           config 3: 4-step iCD-SDXL 1024x1024 generation.
-  train          config 5: SD1.5 dual-student training step (all four
-                 losses), samples/sec/chip.
+  train          config 5: SD1.5 dual-student CD training step (the two
+                 consistency losses) at batch 4, samples/sec/chip.
+  train4         config 5b: the FULL 4-loss step (both preserve
+                 rollouts) at batch 2, its single-chip 16 GB fit point.
+                 Measured: 1.98 samples/sec/chip (round 3).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); we compare
 against an estimated 6.0 images/sec/chip for the torch/diffusers reference
@@ -237,7 +240,7 @@ def bench_sdxl():
     }
 
 
-def bench_train():
+def bench_train(full_losses=False):
     from invertible_cd_tpu.diffusion.schedule import make_schedule
     from invertible_cd_tpu.diffusion.solver import make_train_solver
     from invertible_cd_tpu.models import UNet2DCondition, UNetConfig
@@ -246,16 +249,14 @@ def bench_train():
         LossConfig, TrainConfig, init_train_state, make_train_step,
     )
 
-    # This measures the dual-student CD-loss step (reverse + forward CD;
-    # the reference's core objectives). The preserve losses are verified
-    # numerically (tests/test_losses_differential.py) and compile+execute
-    # in the multichip dryrun, but their full-size programs are beyond
-    # what this container's remote-compile service completes in under an
-    # hour — and at batch >=4 the 4-loss step exhausts one chip's 16 GB
-    # anyway (three merged param sets + rollouts); production runs them
-    # sharded over a mesh. Batch 4: both students' r=64 LoRA + fp32 Adam
-    # moments alone are ~6 GB, so batch 8 exceeds 16 GB HBM.
-    BATCH = 4
+    # Default (--mode train): the dual-student CD-loss step (reverse +
+    # forward CD; the reference's core objectives) at batch 4 — the
+    # single-chip throughput point. --mode train4 measures the FULL
+    # 4-loss step (both preserve rollouts) at batch 2, its single-chip
+    # 16 GB fit point; at batch >= 4 the preserve rollouts exhaust HBM
+    # (three merged param sets + multi-step reverse rollout), so
+    # production scales that step over a dp x fsdp mesh instead.
+    BATCH = 2 if full_losses else 4
     cfg = UNetConfig.sd15()
     unet = UNet2DCondition(cfg, dtype=jnp.bfloat16)
     shapes = jax.eval_shape(
@@ -275,8 +276,8 @@ def bench_train():
     tcfg = TrainConfig(
         remat=True,
         bf16_moments=True,
-        use_forward_preserve=False,
-        use_reverse_preserve=False,
+        use_forward_preserve=full_losses,
+        use_reverse_preserve=full_losses,
         loss=LossConfig(),
     )
     mesh = make_mesh()
@@ -315,7 +316,10 @@ def bench_train():
             step(i)
         sps = BATCH * N / (time.perf_counter() - t0)
     return {
-        "metric": "icd_sd15_train_samples_per_sec",
+        "metric": (
+            "icd_sd15_train4loss_samples_per_sec" if full_losses
+            else "icd_sd15_train_samples_per_sec"
+        ),
         "value": round(sps, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(sps / REF_TRAIN_SAMPLES_PER_SEC, 3),
@@ -326,13 +330,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode", default="gen",
-        choices=["gen", "latency", "edit", "edit_sweep", "sdxl", "train"],
+        choices=["gen", "latency", "edit", "edit_sweep", "sdxl", "train",
+                 "train4"],
     )
     args = ap.parse_args()
     result = {
         "gen": bench_gen, "latency": bench_latency, "edit": bench_edit,
         "edit_sweep": bench_edit_sweep, "sdxl": bench_sdxl,
         "train": bench_train,
+        "train4": lambda: bench_train(full_losses=True),
     }[args.mode]()
     print(json.dumps(result))
 
