@@ -37,6 +37,11 @@ SHAPES = [
     ("sd15_self_64x64_b16", 16, 4096, 4096, 8, 40),
     ("sd15_self_32x32_b16", 16, 1024, 1024, 8, 80),
     ("sd15_cross_64x64_b16", 16, 4096, 77, 8, 40),
+    # VAE mid-block attention: single d=512 head — takes the STREAMED
+    # kernel (K/V too big for resident VMEM; XLA materialises the fp32
+    # probability square here)
+    ("vae_sd15_decode_b16", 16, 4096, 4096, 1, 512),
+    ("vae_sdxl_decode", 1, 16384, 16384, 1, 512),
 ]
 
 

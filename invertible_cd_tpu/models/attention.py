@@ -96,14 +96,22 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     #     attention (9.1 vs 7.1 ms at batch 16) -> stay on XLA there.
     #   - cross-attention (77 keys): per-tile overhead loses 10x to XLA's
     #     single fused matmul -> always XLA.
-    # d <= 256 keeps the full K/V block within VMEM.
+    # d <= 256 keeps the full K/V block within VMEM; LARGER aligned head
+    # dims (the VAE's single d=512 head) take the streamed kernel, which
+    # DMAs K/V tiles instead — XLA's fallback there materialises the fp32
+    # (Sq, Sk) probabilities (measured: 8.7 -> 3.4 ms at the SD1.5
+    # batch-16 decode shape, 5.0 -> 2.8 ms at SDXL-VAE's 16k tokens;
+    # bench_kernels.py).
     aligned = d % 64 == 0
     use = (
         mode == "1"
         or (
-            mode == "auto" and on_tpu and d <= 256
+            mode == "auto" and on_tpu
             and sq >= 1024 and sk >= 1024
-            and (aligned or sq < 4096)
+            and (
+                (d <= 256 and (aligned or sq < 4096))
+                or (d > 256 and aligned)
+            )
         )
     )
     if use and _ambient_tp() > 1:

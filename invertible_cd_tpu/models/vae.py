@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .attention import fused_attention
 from .layers import GroupNorm32, ResnetBlock2D, Upsample2D
 
 
@@ -54,7 +55,12 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(hidden)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(hidden)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(hidden)
-        out = jax.nn.dot_product_attention(
+        # Routed through fused_attention: this single d=512 head over h*w
+        # tokens is exactly the shape whose XLA fallback materialises the
+        # fp32 (Sq, Sk) probabilities (~1 GB at the SD1.5 batch-16
+        # decode); on TPU it takes the streamed Pallas kernel instead
+        # (ops/flash_attention.py).
+        out = fused_attention(
             q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
         )[:, :, 0, :]
         out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)

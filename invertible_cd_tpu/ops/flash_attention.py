@@ -35,6 +35,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LSE_LANES = 128  # lane replication width of the logsumexp residual
@@ -149,6 +150,199 @@ def _flash_forward(q, k, v, block_q, block_k, scale, interpret, with_lse=True):
         interpret=interpret,
     )(q, k, v)
     return out if with_lse else (out[0], None)
+
+
+# ---------------------------------------------------------------------------
+# streamed forward (large head dims: K/V tiles DMA'd via a third grid dim)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_streamed(
+    q_ref, k_ref, v_ref, *refs, block_k: int, sk: int, scale: float, with_lse: bool
+):
+    """One (q-tile, k-tile) program of the streamed forward.
+
+    The resident-K/V kernel (`_fwd_kernel`) holds all of K and V in VMEM,
+    which caps it at sk*d*4B ~ 4 MB — fine for the UNet's heads (d <= 160)
+    but impossible for the VAE's single d=512 head over 4096+ tokens
+    (reference gets this layer from diffusers `AttnProcessor`; XLA's
+    fallback materialises the fp32 (Sq, Sk) probabilities — ~1 GB at the
+    SD1.5 batch-16 decode, ~8 ms of the measured VAE stage). Here the key
+    axis is a third, sequential ("arbitrary") grid dimension: each step
+    DMAs one (block_k, d) K/V tile and folds it into the online-softmax
+    state held in VMEM scratch (m/l lane-replicated, acc fp32); the output
+    tile is written once, on the last key step."""
+    if with_lse:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        o_ref, m_scr, l_scr, acc_scr = refs
+        lse_ref = None
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    logits = scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if sk % block_k != 0:
+        # ragged tail: Pallas pads the OOB k/v tile rows with UNDEFINED
+        # data (NaN in interpret mode), so (a) mask the logits of padded
+        # key columns to -inf by global column index, and (b) zero the
+        # padded v rows — their p weights are exp(-inf)=0, but 0*NaN
+        # would still poison the P@V accumulation.
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * block_k
+        logits = jnp.where(col < sk, logits, NEG_INF)
+        vrow = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + j * block_k
+        v = jnp.where(vrow < sk, v, jnp.zeros_like(v))
+
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _finish():
+        l = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[...] = (acc_scr[...] / l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[...] = jnp.broadcast_to(
+                m_scr[:, :1] + jnp.log(l), lse_ref.shape
+            )
+
+
+def _flash_forward_streamed(
+    q, k, v, block_q, block_k, scale, interpret, with_lse=True
+):
+    g, sq, d = q.shape
+    sk = k.shape[1]
+    grid = (g, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k))
+    kernel = functools.partial(
+        _fwd_kernel_streamed, block_k=block_k, sk=sk, scale=scale,
+        with_lse=with_lse,
+    )
+    out_specs = [pl.BlockSpec((None, block_q, d), lambda b, i, j: (b, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((g, sq, d), q.dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((None, block_q, LSE_LANES), lambda b, i, j: (b, i, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((g, sq, LSE_LANES), jnp.float32))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LSE_LANES), jnp.float32),
+            pltpu.VMEM((block_q, LSE_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out if with_lse else (out[0], None)
+
+
+def _streamed_backward_xla(q, k, v, o, lse, do, block_k, scale):
+    """Backward for the streamed path: flash-style recompute from the saved
+    logsumexp, chunked over key tiles in plain XLA (lax.scan).
+
+    The large-d shapes are never under grad on the hot paths (the VAE is
+    frozen in reference training, `training/src/train.py`), so this
+    prioritises memory-bounded correctness over kernel speed: per tile it
+    materialises only (G, Sq, block_k) fp32 intermediates instead of the
+    full (Sq, Sk) square."""
+    g, sq, d = q.shape
+    sk = k.shape[1]
+    n_k = pl.cdiv(sk, block_k)
+    pad = n_k * block_k - sk
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    lse1 = lse[..., :1]  # (G, Sq, 1)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), -1, keepdims=True
+    )
+
+    def body(dq_acc, idx):
+        start = idx * block_k
+        k_t = jax.lax.dynamic_slice_in_dim(kp, start, block_k, 1)
+        v_t = jax.lax.dynamic_slice_in_dim(vp, start, block_k, 1)
+        logits = scale * jnp.einsum(
+            "gqd,gkd->gqk", q, k_t, preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(logits - lse1)
+        if pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 2) + start
+            p = jnp.where(col < sk, p, 0.0)
+        dp = jnp.einsum(
+            "gqd,gkd->gqk", do, v_t, preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq_acc = dq_acc + jnp.einsum(
+            "gqk,gkd->gqd", ds, k_t, preferred_element_type=jnp.float32
+        )
+        dk_t = jnp.einsum(
+            "gqk,gqd->gkd", ds, q, preferred_element_type=jnp.float32
+        )
+        dv_t = jnp.einsum(
+            "gqk,gqd->gkd", p.astype(do.dtype), do,
+            preferred_element_type=jnp.float32,
+        )
+        return dq_acc, (dk_t.astype(k.dtype), dv_t.astype(v.dtype))
+
+    dq, (dks, dvs) = jax.lax.scan(
+        body, jnp.zeros(q.shape, jnp.float32), jnp.arange(n_k)
+    )
+    dk = jnp.moveaxis(dks, 0, 1).reshape(g, n_k * block_k, d)[:, :sk]
+    dv = jnp.moveaxis(dvs, 0, 1).reshape(g, n_k * block_k, d)[:, :sk]
+    return dq.astype(q.dtype), dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_op_streamed(q, k, v, block_q, block_k, scale, interpret):
+    o, _ = _flash_forward_streamed(
+        q, k, v, block_q, block_k, scale, interpret, with_lse=False
+    )
+    return o
+
+
+def _flash_op_streamed_fwd(q, k, v, block_q, block_k, scale, interpret):
+    o, lse = _flash_forward_streamed(
+        q, k, v, block_q, block_k, scale, interpret, with_lse=True
+    )
+    return o, (q, k, v, o, lse)
+
+
+def _flash_op_streamed_bwd(block_q, block_k, scale, interpret, res, do):
+    q, k, v, o, lse = res
+    return _streamed_backward_xla(
+        q, k, v, o, lse, do.astype(q.dtype), block_k, scale
+    )
+
+
+_flash_op_streamed.defvjp(_flash_op_streamed_fwd, _flash_op_streamed_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -375,14 +569,17 @@ def _flash_op_bwd(block_q, block_k, scale, interpret, res, do):
 _flash_op.defvjp(_flash_op_fwd, _flash_op_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "streamed")
+)
 def flash_attention_bhsd(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
+    streamed: bool | None = None,
 ) -> jax.Array:
     """q (G, Sq, D), k/v (G, Sk, D) with G = batch*heads -> (G, Sq, D).
 
@@ -395,22 +592,39 @@ def flash_attention_bhsd(
     columns contribute nothing to QK^T, produce zero output columns in
     P@V, and carry zero gradients through the backward kernels — while the
     softmax scale stays the TRUE head dim's 1/sqrt(d).
+
+    Routing: the resident-K/V kernel needs all of K and V in VMEM
+    (~sk*d*2dtypes); past ~4 MB (the VAE's d=512 single head, SDXL-VAE's
+    16k tokens) the streamed kernel takes over — K/V tiles arrive via a
+    sequential grid dimension, so VMEM holds only one tile at a time.
     """
     sq = q.shape[1]
     sk = k.shape[1]
     d = q.shape[2]
+    scale = float(d) ** -0.5
+    d_pad = ((d + 63) // 64) * 64
+    if streamed is None:
+        streamed = sk * d_pad * 2 * q.dtype.itemsize > 4 * 1024 * 1024
+    if streamed:
+        # bigger tiles amortise the per-tile DMA + state update; q-tile
+        # count drops, cutting repeated K/V streaming traffic (measured
+        # 3.4 ms vs XLA's 8.7 on the SD1.5 batch-16 VAE decode shape).
+        block_q = block_q or 512
+        block_k = block_k or 1024
+    else:
+        block_q = block_q or 256
+        block_k = block_k or 512
+    op = _flash_op_streamed if streamed else _flash_op
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
-    scale = float(d) ** -0.5
-    if d % 64 != 0:
-        d_pad = ((d + 63) // 64) * 64
+    if d != d_pad:
         pad = ((0, 0), (0, 0), (0, d_pad - d))
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-        out = _flash_op(q, k, v, block_q, block_k, scale, interpret)
+        out = op(q, k, v, block_q, block_k, scale, interpret)
         return out[..., :d]
-    return _flash_op(q, k, v, block_q, block_k, scale, interpret)
+    return op(q, k, v, block_q, block_k, scale, interpret)
 
 
 def flash_attention(

@@ -60,6 +60,77 @@ def test_sk_not_divisible_by_block():
 
 
 # ---------------------------------------------------------------------------
+# streamed kernel (large head dims: K/V tiles DMA'd via a sequential grid dim)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "g,sq,sk,d,bq,bk",
+    [
+        (2, 256, 256, 512, 128, 128),  # SD1.5 VAE head shape family (d=512)
+        (1, 300, 300, 512, 128, 128),  # ragged tail on BOTH axes
+        (1, 256, 200, 64, 128, 128),   # ragged key tail only
+        (2, 256, 256, 40, 128, 128),   # d-pad path (40 -> 64) through streamed
+    ],
+)
+def test_streamed_matches_xla(g, sq, sk, d, bq, bk):
+    from invertible_cd_tpu.ops.flash_attention import flash_attention_bhsd
+
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.normal(size=(g, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(g, sk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(g, sk, d)), jnp.float32)
+    out = flash_attention_bhsd(
+        q, k, v, block_q=bq, block_k=bk, interpret=True, streamed=True
+    )
+    ref = jax.nn.dot_product_attention(
+        q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+    )[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+def test_streamed_auto_routing():
+    """The VMEM-budget heuristic: the VAE's d=512 single head over 4096
+    tokens must route to the streamed kernel, while UNet head dims stay
+    on the resident-K/V kernel."""
+    from invertible_cd_tpu.ops import flash_attention as fa
+
+    itemsize = 2  # bf16
+    assert 4096 * 512 * 2 * itemsize > 4 * 1024 * 1024  # VAE decode -> streamed
+    assert 4096 * 64 * 2 * itemsize <= 4 * 1024 * 1024  # SD1.5 64x64 head -> resident
+    assert fa is not None
+
+
+def test_streamed_grad_matches_xla():
+    """The streamed path's backward is a chunked XLA recompute from the
+    saved logsumexp — check it against autodiff through plain attention,
+    including a ragged key tail."""
+    from invertible_cd_tpu.ops.flash_attention import flash_attention_bhsd
+
+    rng = np.random.default_rng(7)
+    g, sq, sk, d = 1, 200, 300, 128
+    q = jnp.asarray(rng.normal(size=(g, sq, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(g, sk, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(g, sk, d)) * 0.5, jnp.float32)
+
+    def fn(q, k, v):
+        return flash_attention_bhsd(
+            q, k, v, block_q=128, block_k=128, interpret=True, streamed=True
+        )
+
+    def ref(q, k, v):
+        return jax.nn.dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )[:, :, 0, :]
+
+    dq, dk, dv = _grads(fn, q, k, v)
+    rq, rk, rv = _grads(ref, q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
 # gradients (custom_vjp backward kernels)
 # ---------------------------------------------------------------------------
 

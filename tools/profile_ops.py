@@ -34,7 +34,14 @@ def classify(name):
     opname = name.split(" = ", 1)[0].lower()
     if "flash_attention" in opname:
         return "pallas-flash-attention"
-    head = name.split("(", 1)[0].rstrip()
+    # The op kind is the token right before the operand paren, e.g.
+    # `%fusion.1 = bf16[...]{1,0:T(8,128)(2,1)} fusion(arg, ...)`. The
+    # layout annotation contains parens too, so strip `{...}` blocks
+    # before splitting at the first remaining paren.
+    import re
+
+    flat = re.sub(r"\{[^}]*\}", "", name)
+    head = flat.split("(", 1)[0].rstrip()
     kind = head.rsplit(" ", 1)[-1].lower()
     if kind == "custom-call":
         return "custom-call"
@@ -48,6 +55,11 @@ def classify(name):
                 "pad", "concatenate", "copy-done", "slice-done"):
         return "data-movement"
     if kind == "fusion" or "loop" in kind:
+        # TPU XLA fuses convolutions/dots INTO fusions (kOutput); the op
+        # name only betrays this through a conv-kernel-shaped operand
+        # (f32[kh,kw,ci,co] with small kh/kw) or an attention-sized one.
+        if re.search(r"f32\[[1-7],[1-7],\d+,\d+\]", name):
+            return "fusion(conv)"
         if "reduce" in opname:
             return "fusion(reduce)"
         return "fusion(elementwise)"
@@ -93,6 +105,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--what", default="unet", choices=["unet", "vae", "gen"])
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--width", type=int, default=70,
+                    help="op-name display width (0 = untrimmed)")
     args = ap.parse_args()
 
     from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
@@ -137,8 +151,9 @@ def main():
     for kind, ms in kinds.most_common():
         print(f"{ms:9.3f}  {100 * ms / max(total, 1e-9):5.1f}  {kind}")
     print(f"\ntop ops:\n{'ms':>9}  {'%':>5}  op")
+    width = args.width or 10**6
     for name, ms in totals.most_common(args.top):
-        print(f"{ms:9.3f}  {100 * ms / max(total, 1e-9):5.1f}  {trim(name)}")
+        print(f"{ms:9.3f}  {100 * ms / max(total, 1e-9):5.1f}  {trim(name, width)}")
 
 
 if __name__ == "__main__":
