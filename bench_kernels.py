@@ -26,7 +26,10 @@ from invertible_cd_tpu.ops.flash_attention import flash_attention
 
 SHAPES = [
     # (name, B, Sq, Sk, H, D) — SD1.5 at 512^2 and SDXL families
+    ("sd15_self_64x64_b1", 1, 4096, 4096, 8, 40),
     ("sd15_self_64x64", 2, 4096, 4096, 8, 40),
+    ("sd15_self_64x64_b4", 4, 4096, 4096, 8, 40),
+    ("sd15_self_64x64_b8", 8, 4096, 4096, 8, 40),
     ("sd15_self_32x32", 2, 1024, 1024, 8, 80),
     ("sd15_self_16x16", 2, 256, 256, 8, 160),
     ("sd15_cross_64x64", 2, 4096, 77, 8, 40),

@@ -89,6 +89,7 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     d = q.shape[-1]
     sq = q.shape[1]
     sk = k.shape[1]
+    g = q.shape[0] * q.shape[2]  # batch * heads
     # Long SELF-attention only (all measured, bench_kernels.py on v5e):
     #   - sq=sk>=1024 aligned dims (SDXL d=64): kernel wins 2.0-2.9x.
     #   - padded dims (SD1.5 d=80 -> 128) win 2.3x at 1024 tokens, but at
@@ -102,6 +103,16 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     # (Sq, Sk) probabilities (measured: 8.7 -> 3.4 ms at the SD1.5
     # batch-16 decode shape, 5.0 -> 2.8 ms at SDXL-VAE's 16k tokens;
     # bench_kernels.py).
+    # The only XLA win left is the BIG-batch unaligned 4096-token shape:
+    # XLA's cost there is strangely non-monotonic in G = batch*heads
+    # (measured ms at (b,4096,8,40), xla vs kernel: b1 1.5/0.05, b2
+    # 3.1/0.8, b4 5.8/2.4, b8 11.7/5.4, b16 6.7/11.6 — XLA switches to a
+    # better strategy exactly at b16, the kernel scales linearly). So the
+    # kernel takes every small-G instance (the batch-1/2 latency, invert
+    # and edit paths, up to 33x there) and XLA keeps G>64 (the batch-16
+    # headline, where the 40->64 lane pad + d<128 MXU contraction waste
+    # lose 0.58x — forcing the kernel there made the UNet call
+    # 104 -> 140 ms; do not retry).
     aligned = d % 64 == 0
     use = (
         mode == "1"
@@ -109,15 +120,11 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
             mode == "auto" and on_tpu
             and sq >= 1024 and sk >= 1024
             and (
-                (d <= 256 and (aligned or sq < 4096))
+                (d <= 256 and (aligned or sq < 4096 or g <= 64))
                 or (d > 256 and aligned)
             )
         )
     )
-    # Negative result (measured, do not retry): forcing the kernel onto the
-    # 4096-token d=40 self-attention made the batch-16 UNet call 104 -> 140
-    # ms — the 40->64 lane pad plus the d<128 MXU contraction waste lose to
-    # XLA even though XLA's own path pays heavy relayouts there.
     if use and _ambient_tp() > 1:
         # Megatron head sharding (parallel/mesh.py) splits q/k/v on the
         # head axis; pallas_call is a custom call with no partitioning
