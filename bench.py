@@ -11,6 +11,11 @@ Modes (`python bench.py [--mode MODE]`):
                  whose measured numbers are recorded in README.md.
   latency        config 1b: batch-1 generation latency (the reference
                  protocol's shape).
+  gen_int8 / gen_int8_vae / latency_int8
+                 the same configs with opt-in int8 MXU inference
+                 (pipelines quantize="int8"/"int8_vae", ops/quant.py);
+                 reported separately — the bf16 numbers stay the
+                 apples-to-apples headline vs the fp16 reference.
   edit           config 2: p50 invert+edit round trip (forward CD + p2p
                  AttentionReplace editing with dynamic tau guidance).
   sdxl           config 3: 4-step iCD-SDXL 1024x1024 generation.
@@ -75,12 +80,13 @@ def _time(fn, iters=4):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_gen():
+def bench_gen(quantize="off"):
     from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
 
-    pipe = InvertibleCD.sd15(dtype=jnp.bfloat16)
+    pipe = InvertibleCD.sd15(dtype=jnp.bfloat16, quantize=quantize)
 
-    # config 1: batch-16 throughput (headline)
+    # config 1: batch-16 throughput (headline; gen_int8 measures the
+    # opt-in int8 MXU path — same program shape, quantized matmuls/convs)
     BATCH, ITERS = 16, 6
     prompts16 = ["a photo of a corgi on the beach"] * BATCH
     imgs, _ = pipe.generate(prompts16, key=jax.random.PRNGKey(150))
@@ -90,26 +96,28 @@ def bench_gen():
         imgs, _ = pipe.generate(prompts16, key=jax.random.PRNGKey(i))
         _fence(imgs)
     ips = BATCH * ITERS / (time.perf_counter() - t0)
+    suffix = "" if quantize == "off" else f"_{quantize}"
     return {
-        "metric": "icd_sd15_4step_512_generation",
+        "metric": "icd_sd15_4step_512_generation" + suffix,
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / REF_SD15_IMAGES_PER_SEC, 3),
     }
 
 
-def bench_latency():
+def bench_latency(quantize="off"):
     from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
 
-    pipe = InvertibleCD.sd15(dtype=jnp.bfloat16)
+    pipe = InvertibleCD.sd15(dtype=jnp.bfloat16, quantize=quantize)
 
     def one():
         im, _ = pipe.generate(["a corgi"], key=jax.random.PRNGKey(0))
         _fence(im)
 
     lat1 = _time(one, iters=6)
+    suffix = "" if quantize == "off" else f"_{quantize}"
     return {
-        "metric": "icd_sd15_4step_512_batch1_latency",
+        "metric": "icd_sd15_4step_512_batch1_latency" + suffix,
         "value": round(lat1, 4),
         "unit": "sec/image",
         "vs_baseline": round((1.0 / REF_SD15_IMAGES_PER_SEC) / lat1, 3),
@@ -330,12 +338,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode", default="gen",
-        choices=["gen", "latency", "edit", "edit_sweep", "sdxl", "train",
+        choices=["gen", "gen_int8", "gen_int8_vae", "latency",
+                 "latency_int8", "edit", "edit_sweep", "sdxl", "train",
                  "train4"],
     )
     args = ap.parse_args()
     result = {
         "gen": bench_gen, "latency": bench_latency, "edit": bench_edit,
+        "gen_int8": lambda: bench_gen(quantize="int8"),
+        "gen_int8_vae": lambda: bench_gen(quantize="int8_vae"),
+        "latency_int8": lambda: bench_latency(quantize="int8"),
         "edit_sweep": bench_edit_sweep, "sdxl": bench_sdxl,
         "train": bench_train,
         "train4": lambda: bench_train(full_losses=True),

@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import FeedForward, GroupNorm32
+from .layers import FeedForward, GroupNorm32, QConv, QDense
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,9 +187,9 @@ class CrossAttention(nn.Module):
         head_dim = inner_dim // self.heads
         ctx = x if context is None else context
 
-        q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = QDense(inner_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = QDense(inner_dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = QDense(inner_dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
 
         b, sq, _ = q.shape
         sk = k.shape[1]
@@ -203,7 +203,7 @@ class CrossAttention(nn.Module):
             out = explicit_attention(q, k, v, hook, meta)
 
         out = out.reshape(b, sq, inner_dim)
-        return nn.Dense(inner_dim, dtype=self.dtype, name="to_out_0")(out)
+        return QDense(inner_dim, dtype=self.dtype, name="to_out_0")(out)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -255,18 +255,18 @@ class Transformer2D(nn.Module):
         hidden = GroupNorm32(32, epsilon=1e-6, name="norm", dtype=self.dtype)(x)
         if self.use_linear_projection:
             hidden = hidden.reshape(b, h * w, c)
-            hidden = nn.Dense(c, dtype=self.dtype, name="proj_in")(hidden)
+            hidden = QDense(c, dtype=self.dtype, name="proj_in")(hidden)
         else:
-            hidden = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(hidden)
+            hidden = QConv(c, (1, 1), dtype=self.dtype, name="proj_in")(hidden)
             hidden = hidden.reshape(b, h * w, c)
         for i in range(self.depth):
             hidden = BasicTransformerBlock(
                 self.heads, dtype=self.dtype, name=f"transformer_blocks_{i}"
             )(hidden, context, place, layer_counter, hook)
         if self.use_linear_projection:
-            hidden = nn.Dense(c, dtype=self.dtype, name="proj_out")(hidden)
+            hidden = QDense(c, dtype=self.dtype, name="proj_out")(hidden)
             hidden = hidden.reshape(b, h, w, c)
         else:
             hidden = hidden.reshape(b, h, w, c)
-            hidden = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(hidden)
+            hidden = QConv(c, (1, 1), dtype=self.dtype, name="proj_out")(hidden)
         return hidden + residual

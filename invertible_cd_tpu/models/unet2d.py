@@ -25,6 +25,8 @@ from .attention import AttnHook, Transformer2D
 from .layers import (
     Downsample2D,
     GroupNorm32,
+    QConv,
+    QDense,
     ResnetBlock2D,
     TimestepEmbedding,
     Upsample2D,
@@ -227,7 +229,7 @@ class UNet2DCondition(nn.Module):
         context = encoder_hidden_states.astype(self.dtype)
         layer_counter = [0]
 
-        x = nn.Conv(
+        x = QConv(
             cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
             dtype=self.dtype, name="conv_in",
         )(sample.astype(self.dtype))
@@ -256,7 +258,7 @@ class UNet2DCondition(nn.Module):
 
         x = GroupNorm32(32, name="conv_norm_out", dtype=self.dtype)(x)
         x = nn.silu(x)
-        x = nn.Conv(
+        x = QConv(
             cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
             dtype=self.dtype, name="conv_out",
         )(x)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .attention import fused_attention
-from .layers import GroupNorm32, ResnetBlock2D, Upsample2D
+from .layers import GroupNorm32, QConv, QDense, ResnetBlock2D, Upsample2D
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,9 +52,9 @@ class VAEAttention(nn.Module):
         residual = x
         hidden = GroupNorm32(32, epsilon=1e-6, name="group_norm", dtype=self.dtype)(x)
         hidden = hidden.reshape(b, h * w, c)
-        q = nn.Dense(c, dtype=self.dtype, name="to_q")(hidden)
-        k = nn.Dense(c, dtype=self.dtype, name="to_k")(hidden)
-        v = nn.Dense(c, dtype=self.dtype, name="to_v")(hidden)
+        q = QDense(c, dtype=self.dtype, name="to_q")(hidden)
+        k = QDense(c, dtype=self.dtype, name="to_k")(hidden)
+        v = QDense(c, dtype=self.dtype, name="to_v")(hidden)
         # Routed through fused_attention: this single d=512 head over h*w
         # tokens is exactly the shape whose XLA fallback materialises the
         # fp32 (Sq, Sk) probabilities (~1 GB at the SD1.5 batch-16
@@ -63,7 +63,7 @@ class VAEAttention(nn.Module):
         out = fused_attention(
             q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
         )[:, :, 0, :]
-        out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
+        out = QDense(c, dtype=self.dtype, name="to_out_0")(out)
         return out.reshape(b, h, w, c) + residual
 
 
@@ -80,7 +80,7 @@ class DownEncoderBlock(nn.Module):
         if self.add_downsample:
             # diffusers VAE downsampler: asymmetric pad + stride-2 VALID conv.
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            x = nn.Conv(
+            x = QConv(
                 self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
                 dtype=self.dtype, name="downsamplers_0",
             )(x)
@@ -121,7 +121,7 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        x = nn.Conv(
+        x = QConv(
             cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
             dtype=self.dtype, name="conv_in",
         )(x)
@@ -134,7 +134,7 @@ class Encoder(nn.Module):
         x = MidBlock(cfg.block_out_channels[-1], dtype=self.dtype, name="mid_block")(x)
         x = GroupNorm32(32, epsilon=1e-6, name="conv_norm_out", dtype=self.dtype)(x)
         x = nn.silu(x)
-        x = nn.Conv(
+        x = QConv(
             2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
             dtype=self.dtype, name="conv_out",
         )(x)
@@ -148,7 +148,7 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z):
         cfg = self.cfg
-        x = nn.Conv(
+        x = QConv(
             cfg.block_out_channels[-1], (3, 3), padding=((1, 1), (1, 1)),
             dtype=self.dtype, name="conv_in",
         )(z)
@@ -161,7 +161,7 @@ class Decoder(nn.Module):
             )(x)
         x = GroupNorm32(32, epsilon=1e-6, name="conv_norm_out", dtype=self.dtype)(x)
         x = nn.silu(x)
-        x = nn.Conv(
+        x = QConv(
             cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
             dtype=self.dtype, name="conv_out",
         )(x)
@@ -177,10 +177,10 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.cfg, dtype=self.dtype)
         self.decoder = Decoder(self.cfg, dtype=self.dtype)
-        self.quant_conv = nn.Conv(
+        self.quant_conv = QConv(
             2 * self.cfg.latent_channels, (1, 1), dtype=self.dtype, name="quant_conv"
         )
-        self.post_quant_conv = nn.Conv(
+        self.post_quant_conv = QConv(
             self.cfg.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv"
         )
 

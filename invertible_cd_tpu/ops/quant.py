@@ -1,0 +1,198 @@
+"""Int8 inference quantization for the MXU's double-rate int8 path.
+
+TPU v5e executes int8 x int8 -> int32 matmuls/convs at 394 TOPS — 2x the
+bf16 peak (197 TFLOP/s). Since the generation pipeline's two hot stages
+(UNet calls, VAE decode) are both *compute*-bound in bf16 (measured 53%
+and 75% MFU, tools/speed_of_light.py), quantizing their matmul/conv
+inputs to int8 raises the speed-of-light itself rather than chasing the
+last few percent of the bf16 ceiling.
+
+This module has no analogue in the reference (torch fp16 end to end) —
+it is an opt-in capability of the TPU port:
+
+  * weights: symmetric per-output-channel int8 (scale = amax / 127 over
+    the input dims), quantized inside the jit program each call — the
+    weight tensors are tiny next to the activation traffic they unlock
+    (quantizing all 860M UNet params costs ~3 ms/call of HBM traffic vs
+    a ~25+ ms MXU win), and keeping the stored params in bf16 means the
+    checkpoint format, the torch converters, and LoRA fusion are all
+    untouched.
+  * activations: symmetric per-tensor DYNAMIC int8 (the scale is
+    computed from the live tensor's amax inside the program). No
+    calibration pass, no recorded statistics, no extra state.
+  * accumulation: int32 on the MXU, dequantized by the product of the
+    two scales straight into the layer's compute dtype; bias adds and
+    everything around the matmul stay bf16/fp32.
+
+Enablement is a trace-time scope, NOT a parameter transform:
+
+    with quant_scope("int8"):
+        y = model.apply(params, x)       # QConv/QDense lower to int8
+
+`models.layers.QConv` / `QDense` check `current_quant_mode()` when they
+trace; outside a scope they are exactly `nn.Conv` / `nn.Dense`. The
+pipeline keys its jit cache on the mode so bf16 and int8 programs
+coexist (pipelines/pipeline.py `_get_jit`).
+
+Accuracy: per-tensor dynamic activation quant is the standard W8A8
+recipe; for diffusion UNets the literature (Q-Diffusion et al.) shows
+it costs some fidelity, which is why the mode is opt-in and the
+benchmarks report bf16 numbers as the headline. tests/test_quant.py
+pins the mechanics (int8 vs fp reference error bounds, param-tree
+equality, scope hygiene).
+"""
+from __future__ import annotations
+
+import contextlib
+import contextvars
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_QUANT_MODE: contextvars.ContextVar[str] = contextvars.ContextVar(
+    "icd_tpu_quant_mode", default="off"
+)
+
+#: Modes understood by quant_scope / the Q-layers.
+MODES = ("off", "int8")
+
+
+def current_quant_mode() -> str:
+    """The quantization mode active for code tracing right now."""
+    return _QUANT_MODE.get()
+
+
+@contextlib.contextmanager
+def quant_scope(mode: str):
+    """Activate a quantization mode while tracing model code.
+
+    The scope is consulted at TRACE time (flax module __call__), so it
+    must wrap the `.apply(...)` call — including when that call happens
+    inside a function being traced by `jax.jit`."""
+    if mode not in MODES:
+        raise ValueError(f"unknown quant mode {mode!r}; expected one of {MODES}")
+    token = _QUANT_MODE.set(mode)
+    try:
+        yield
+    finally:
+        _QUANT_MODE.reset(token)
+
+
+def _amax(x: jax.Array, axes: Optional[Sequence[int]] = None) -> jax.Array:
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=False)
+    # Guard all-zero tensors (zero-init benchmark params): scale 0 would
+    # produce inf/nan on dequant; 1.0 keeps q = 0 -> y = 0.
+    return jnp.where(a > 0, a, 1.0)
+
+
+def quantize_int8(
+    x: jax.Array, axes: Optional[Sequence[int]] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric int8 quantization.
+
+    Args:
+      x: float tensor.
+      axes: reduction axes for the amax. None -> per-tensor (one scalar
+        scale); a tuple -> one scale per remaining axis combination
+        (e.g. axes=(0,1,2) on an HWIO conv kernel gives per-output-
+        channel scales).
+    Returns:
+      (q int8, scale float32) with x ~= q * scale.
+    """
+    scale = _amax(x, axes) / 127.0
+    shape = [1] * x.ndim
+    if axes is not None:
+        kept = [d for d in range(x.ndim) if d not in axes]
+        for d in kept:
+            shape[d] = x.shape[d]
+    q = jnp.round(x.astype(jnp.float32) / scale.reshape(shape))
+    q = jnp.clip(q, -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quant_dot_general(
+    lhs: jax.Array,
+    rhs: jax.Array,
+    dimension_numbers,
+    precision=None,
+    preferred_element_type=None,
+):
+    """Drop-in `lax.dot_general` for `nn.Dense(dot_general=...)`.
+
+    Outside an int8 scope (or for any contraction pattern other than the
+    dense layer's last-dim @ first-dim, or non-float operands) this IS
+    `lax.dot_general` — bit-identical programs. Inside the scope: lhs is
+    per-tensor dynamically quantized, rhs (the kernel, (K, N)) gets one
+    scale per output column, and the MXU runs int8 x int8 -> int32."""
+    dense_dims = (((lhs.ndim - 1,), (0,)), ((), ()))
+    if (
+        current_quant_mode() != "int8"
+        or dimension_numbers != dense_dims
+        or rhs.ndim != 2
+        or not jnp.issubdtype(lhs.dtype, jnp.floating)
+        or not jnp.issubdtype(rhs.dtype, jnp.floating)
+    ):
+        return jax.lax.dot_general(
+            lhs, rhs, dimension_numbers, precision=precision,
+            preferred_element_type=preferred_element_type,
+        )
+    out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
+    lq, sl = quantize_int8(lhs)  # per-tensor
+    rq, sr = quantize_int8(rhs, axes=(0,))  # (N,) per out column
+    acc = jax.lax.dot_general(
+        lq, rq, dense_dims, preferred_element_type=jnp.int32
+    )
+    return (acc.astype(jnp.float32) * (sl * sr)).astype(out_dtype)
+
+
+def quant_conv_general_dilated(
+    lhs: jax.Array,
+    rhs: jax.Array,
+    window_strides,
+    padding,
+    lhs_dilation=None,
+    rhs_dilation=None,
+    dimension_numbers=None,
+    feature_group_count=1,
+    precision=None,
+    preferred_element_type=None,
+):
+    """Drop-in `lax.conv_general_dilated` for
+    `nn.Conv(conv_general_dilated=...)`.
+
+    Quantizes only the plain case the SD models use (no dilation, no
+    feature groups, float operands); everything else — and every call
+    outside an int8 scope — falls through to `lax.conv_general_dilated`
+    unchanged."""
+    def _trivial(dil):
+        return dil is None or all(int(d) == 1 for d in dil)
+
+    if (
+        current_quant_mode() != "int8"
+        or feature_group_count != 1
+        or not _trivial(lhs_dilation)
+        or not _trivial(rhs_dilation)
+        or not jnp.issubdtype(lhs.dtype, jnp.floating)
+        or not jnp.issubdtype(rhs.dtype, jnp.floating)
+    ):
+        return jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides, padding,
+            lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+            dimension_numbers=dimension_numbers,
+            feature_group_count=feature_group_count, precision=precision,
+            preferred_element_type=preferred_element_type,
+        )
+    out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
+    # Kernel layout is HWIO under flax's NHWC convention: per-output-
+    # channel scales reduce over every dim but the last.
+    lq, sl = quantize_int8(lhs)  # per-tensor
+    rq, sr = quantize_int8(rhs, axes=tuple(range(rhs.ndim - 1)))
+    acc = jax.lax.conv_general_dilated(
+        lq, rq, window_strides, padding,
+        lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+        dimension_numbers=dimension_numbers,
+        feature_group_count=feature_group_count,
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * (sl * sr)).astype(out_dtype)

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..diffusion.schedule import NoiseSchedule, make_schedule
 from ..diffusion.solver import SolverGrid, make_solver_grid
+from ..ops.quant import quant_scope
 from ..edit.controllers import (
     ControllerArrays,
     ControllerRuntime,
@@ -59,8 +60,20 @@ class InvertibleCD:
     grid: SolverGrid
     scaling_factor: float = 0.18215
     latent_size: Tuple[int, int] = (64, 64)
+    #: Opt-in int8 inference (ops/quant.py): "off" keeps everything bf16;
+    #: "int8" runs every UNet *and* VAE matmul/conv as int8 on the MXU
+    #: (2x bf16 peak on v5e); "int8_vae" quantizes only the VAE decode/
+    #: encode (the most conservative trade: the decode is 1/3 of a
+    #: batch-16 generate and images tolerate int8 well). CLIP always
+    #: stays bf16. The jit cache keys on this, so flipping it after
+    #: construction retraces cleanly.
+    quantize: str = "off"
 
     def __post_init__(self):
+        if self.quantize not in ("off", "int8", "int8_vae"):
+            raise ValueError(
+                f"quantize={self.quantize!r}; expected off | int8 | int8_vae"
+            )
         self._jit_cache: Dict = {}
 
     # ------------------------------------------------------------------
@@ -77,6 +90,7 @@ class InvertibleCD:
         clip_cfg: Optional[CLIPTextConfig] = None,
         vae_cfg: Optional[VAEConfig] = None,
         latent_size: Tuple[int, int] = (64, 64),
+        quantize: str = "off",
     ) -> "InvertibleCD":
         """SD1.5 bundle. Without `params`, zero-initialised weights are
         created (for benchmarks / smoke tests; real use loads converted
@@ -105,6 +119,7 @@ class InvertibleCD:
             ),
             scaling_factor=vae_cfg.scaling_factor,
             latent_size=latent_size,
+            quantize=quantize,
         )
 
     @property
@@ -148,7 +163,7 @@ class InvertibleCD:
     # Jit program factory
     # ------------------------------------------------------------------
     def _get_jit(self, name: str, *static):
-        key = (name,) + static
+        key = (name, self.quantize) + static
         if key in self._jit_cache:
             return self._jit_cache[key]
         fn = getattr(self, "_build_" + name)(*static)
@@ -184,20 +199,26 @@ class InvertibleCD:
                     }
                 else:
                     added_b = added
-            return self.unet.apply(
-                params, latent, jnp.full((b,), t, jnp.int32), context,
-                w_cond=w_emb, added_cond=added_b, attn_hook=hook,
-            )
+            with quant_scope("int8" if self.quantize == "int8" else "off"):
+                return self.unet.apply(
+                    params, latent, jnp.full((b,), t, jnp.int32), context,
+                    w_cond=w_emb, added_cond=added_b, attn_hook=hook,
+                )
         return nm
 
+    def _vae_quant_mode(self) -> str:
+        return "int8" if self.quantize in ("int8", "int8_vae") else "off"
+
     def _decode_latents(self, params, latents):
-        img = self.vae.apply(
-            params, latents / self.scaling_factor, method=AutoencoderKL.decode
-        )
+        with quant_scope(self._vae_quant_mode()):
+            img = self.vae.apply(
+                params, latents / self.scaling_factor, method=AutoencoderKL.decode
+            )
         return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
     def _encode_image(self, params, pixels):
-        mean = self.vae.apply(params, pixels, method=AutoencoderKL.encode_mean)
+        with quant_scope(self._vae_quant_mode()):
+            mean = self.vae.apply(params, pixels, method=AutoencoderKL.encode_mean)
         return mean.astype(jnp.float32) * self.scaling_factor
 
     def _build_cons_generate(

@@ -59,6 +59,7 @@ class InvertibleCDXL(InvertibleCD):
         dtype=jnp.bfloat16,
         unet_cfg: Optional[UNetConfig] = None,
         latent_size: Tuple[int, int] = (128, 128),
+        quantize: str = "off",
     ) -> "InvertibleCDXL":
         unet_cfg = unet_cfg or UNetConfig.sdxl()
         clip_cfg = CLIPTextConfig.vit_l()
@@ -106,6 +107,7 @@ class InvertibleCDXL(InvertibleCD):
             latent_size=latent_size,
             text_encoder_2=text2,
             tokenizer_2=tok2,
+            quantize=quantize,
         )
 
     # ------------------------------------------------------------------
