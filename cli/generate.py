@@ -72,6 +72,9 @@ def parse_args(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--platform", default=None, help="cpu|tpu backend override (cpu needed for smoke tests in tunneled-TPU containers)")
     p.add_argument("--seed", type=int, default=150)
+    p.add_argument("--quantize", default="off",
+                   choices=["off", "int8", "int8_vae"],
+                   help="opt-in int8 MXU inference (ops/quant.py)")
     p.add_argument("--guidance_scale", type=float, default=19.0)
     p.add_argument("--dynamic_guidance", action="store_true", default=True)
     p.add_argument("--tau1", type=float, default=0.8)
@@ -137,11 +140,13 @@ def build_pipeline(args):
     if args.model == "tiny":
         from invertible_cd_tpu.testing import tiny_bundle
 
-        return tiny_bundle()
+        pipe = tiny_bundle()
+        pipe.quantize = args.quantize
+        return pipe
     if args.model == "sdxl":
-        pipe = InvertibleCDXL.sdxl(grid=grid)
+        pipe = InvertibleCDXL.sdxl(grid=grid, quantize=args.quantize)
     else:
-        pipe = InvertibleCD.sd15(grid=grid)
+        pipe = InvertibleCD.sd15(grid=grid, quantize=args.quantize)
     _load_weights(pipe, args)
     return pipe
 
