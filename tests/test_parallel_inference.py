@@ -90,3 +90,80 @@ class TestTensorParallel:
         np.testing.assert_allclose(
             np.asarray(imgs_tp), np.asarray(imgs_ref), atol=2e-5, rtol=1e-4
         )
+
+
+class TestQuantizedParallel:
+    """int8 inference (ops/quant.py) under the mesh. The dynamic
+    activation scales are amax reductions over (possibly sharded)
+    tensors and the int32 accumulators of row-sharded kernels need a
+    psum before dequant — both must come out bit-compatible with the
+    single-device int8 program, or the quantized path would silently
+    change numerics the moment a mesh is present (the round-2 tp-x-
+    pallas lesson, ADVICE.md item 2, applied to quant)."""
+
+    def test_dp_sharded_int8_matches_single_device(self, tiny_pipe):
+        pipe = tiny_pipe
+        prompts = [f"prompt number {i}" for i in range(8)]
+        key = jax.random.PRNGKey(7)
+        pipe.quantize = "int8"
+        try:
+            imgs_ref, _ = pipe.generate(prompts, key=key)
+
+            mesh = make_mesh(dp=8, fsdp=1)
+            latent = pipe.init_latent(key, len(prompts))
+            ctx_u, ctx_c, added = pipe._encode_all(prompts)
+            sh = batch_sharding(mesh)
+            latent = jax.device_put(latent, sh)
+            ctx_u = jax.device_put(ctx_u, sh)
+            ctx_c = jax.device_put(ctx_c, sh)
+            from invertible_cd_tpu.edit.controllers import empty_arrays
+
+            arrays = empty_arrays(pipe.grid.num_reverse_steps, len(prompts))
+            fn = pipe._get_jit(
+                "cons_generate", pipe.default_guidance(), None, False
+            )
+            imgs_sharded, _, _ = fn(
+                pipe.params["reverse"], pipe.params["vae"], latent, ctx_u,
+                ctx_c, ctx_c, arrays, added,
+            )
+        finally:
+            pipe.quantize = "off"
+        np.testing.assert_allclose(
+            np.asarray(imgs_sharded), np.asarray(imgs_ref),
+            atol=2e-5, rtol=1e-4,
+        )
+
+    def test_tp_sharded_int8_matches_replicated(self, tiny_pipe):
+        from invertible_cd_tpu.parallel import replicated
+        from invertible_cd_tpu.parallel.mesh import param_sharding
+
+        pipe = tiny_pipe
+        prompts = ["a cat", "a dog"]
+        key = jax.random.PRNGKey(9)
+        pipe.quantize = "int8"
+        try:
+            imgs_ref, _ = pipe.generate(prompts, key=key)
+
+            mesh = make_mesh(dp=1, fsdp=1, tp=2, devices=jax.devices()[:2])
+            specs = param_sharding(pipe.params["reverse"], mesh)
+            sharded = jax.tree.map(
+                jax.device_put, pipe.params["reverse"], specs
+            )
+            vae_rep = jax.tree.map(
+                lambda x: jax.device_put(x, replicated(mesh)),
+                pipe.params["vae"],
+            )
+            old_rev, old_vae = pipe.params["reverse"], pipe.params["vae"]
+            pipe.params["reverse"], pipe.params["vae"] = sharded, vae_rep
+            pipe._jit_cache.clear()
+            try:
+                with mesh:
+                    imgs_tp, _ = pipe.generate(prompts, key=key)
+            finally:
+                pipe.params["reverse"], pipe.params["vae"] = old_rev, old_vae
+                pipe._jit_cache.clear()
+        finally:
+            pipe.quantize = "off"
+        np.testing.assert_allclose(
+            np.asarray(imgs_tp), np.asarray(imgs_ref), atol=2e-5, rtol=1e-4
+        )
