@@ -220,10 +220,10 @@ def bench_edit_sweep():
     }
 
 
-def bench_sdxl():
+def bench_sdxl(quantize="off"):
     from invertible_cd_tpu.pipelines.sdxl import InvertibleCDXL
 
-    pipe = InvertibleCDXL.sdxl(dtype=jnp.bfloat16)
+    pipe = InvertibleCDXL.sdxl(dtype=jnp.bfloat16, quantize=quantize)
 
     def run(batch, iters):
         prompts = ["a photo of a corgi on the beach"] * batch
@@ -240,8 +240,9 @@ def bench_sdxl():
     # params + fp32 VAE decode activations), so batch 1 is the
     # throughput-optimal point on one chip.
     ips = run(1, 5)
+    suffix = "" if quantize == "off" else f"_{quantize}"
     return {
-        "metric": "icd_sdxl_4step_1024_generation",
+        "metric": "icd_sdxl_4step_1024_generation" + suffix,
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / REF_SDXL_IMAGES_PER_SEC, 3),
@@ -339,8 +340,8 @@ def main():
     ap.add_argument(
         "--mode", default="gen",
         choices=["gen", "gen_int8", "gen_int8_vae", "latency",
-                 "latency_int8", "edit", "edit_sweep", "sdxl", "train",
-                 "train4"],
+                 "latency_int8", "edit", "edit_sweep", "sdxl", "sdxl_int8",
+                 "train", "train4"],
     )
     args = ap.parse_args()
     result = {
@@ -348,6 +349,7 @@ def main():
         "gen_int8": lambda: bench_gen(quantize="int8"),
         "gen_int8_vae": lambda: bench_gen(quantize="int8_vae"),
         "latency_int8": lambda: bench_latency(quantize="int8"),
+        "sdxl_int8": lambda: bench_sdxl(quantize="int8"),
         "edit_sweep": bench_edit_sweep, "sdxl": bench_sdxl,
         "train": bench_train,
         "train4": lambda: bench_train(full_losses=True),

@@ -39,7 +39,13 @@ recipe; for diffusion UNets the literature (Q-Diffusion et al.) shows
 it costs some fidelity, which is why the mode is opt-in and the
 benchmarks report bf16 numbers as the headline. tests/test_quant.py
 pins the mechanics (int8 vs fp reference error bounds, param-tree
-equality, scope hygiene).
+equality, scope hygiene); tests/test_parallel_inference.py pins that
+the quantized programs partition over dp/tp meshes without changing
+numerics.
+
+INFERENCE ONLY: the round() in the quantizers has zero gradient, so an
+int8 scope around a differentiated apply would train nothing. The
+trainer never enters a scope; training stays bf16.
 """
 from __future__ import annotations
 
