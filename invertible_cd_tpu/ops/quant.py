@@ -106,13 +106,22 @@ def quantize_int8(
     Returns:
       (q int8, scale float32) with x ~= q * scale.
     """
-    scale = _amax(x, axes) / 127.0
+    amax = _amax(x, axes)
+    scale = amax / 127.0
+    # Quantize with a PRECOMPUTED reciprocal multiply, not a divide: a
+    # divide invites XLA to substitute reciprocal-multiply in some fusion
+    # variants and not others, and a 1-ulp difference at a round()
+    # boundary flips an int8 bucket — which a multi-step sampler then
+    # amplifies into visibly different pixels between otherwise
+    # equivalent programs (observed sharded-vs-unsharded on the CPU
+    # mesh). An explicit multiply is already canonical.
+    r = 127.0 / amax
     shape = [1] * x.ndim
     if axes is not None:
         kept = [d for d in range(x.ndim) if d not in axes]
         for d in kept:
             shape[d] = x.shape[d]
-    q = jnp.round(x.astype(jnp.float32) / scale.reshape(shape))
+    q = jnp.round(x.astype(jnp.float32) * r.reshape(shape))
     q = jnp.clip(q, -127, 127).astype(jnp.int8)
     return q, scale
 
@@ -144,12 +153,18 @@ def quant_dot_general(
             preferred_element_type=preferred_element_type,
         )
     out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
-    lq, sl = quantize_int8(lhs)  # per-tensor
+    # Per-ROW (per-token) activation scales: the contraction axis is the
+    # only reduced dim, so the scale factors out per row exactly like the
+    # kernel's per-column scale — strictly tighter than per-tensor (token
+    # outliers stop clipping everyone else) at identical MXU cost, just a
+    # rank-1 dequant multiply. (Convs can't do this: the window couples
+    # neighbouring pixels into one contraction, so they stay per-tensor.)
+    lq, sl = quantize_int8(lhs, axes=(lhs.ndim - 1,))  # (...,) per row
     rq, sr = quantize_int8(rhs, axes=(0,))  # (N,) per out column
     acc = jax.lax.dot_general(
         lq, rq, dense_dims, preferred_element_type=jnp.int32
     )
-    return (acc.astype(jnp.float32) * (sl * sr)).astype(out_dtype)
+    return (acc.astype(jnp.float32) * (sl[..., None] * sr)).astype(out_dtype)
 
 
 def quant_conv_general_dilated(
