@@ -189,6 +189,20 @@ def quant_conv_general_dilated(
     def _trivial(dil):
         return dil is None or all(int(d) == 1 for d in dil)
 
+    def _channels_last():
+        # the scale layout below assumes batch-first/feature-last lhs
+        # (NHWC) and out-feature-last rhs (HWIO) — flax's convention
+        dn = jax.lax.conv_dimension_numbers(
+            lhs.shape, rhs.shape, dimension_numbers
+        )
+        return (
+            dn.lhs_spec[0] == 0
+            and dn.lhs_spec[1] == lhs.ndim - 1
+            and dn.rhs_spec[0] == rhs.ndim - 1
+            and dn.out_spec[0] == 0
+            and dn.out_spec[1] == lhs.ndim - 1
+        )
+
     if (
         current_quant_mode() != "int8"
         or feature_group_count != 1
@@ -196,6 +210,7 @@ def quant_conv_general_dilated(
         or not _trivial(rhs_dilation)
         or not jnp.issubdtype(lhs.dtype, jnp.floating)
         or not jnp.issubdtype(rhs.dtype, jnp.floating)
+        or not _channels_last()
     ):
         return jax.lax.conv_general_dilated(
             lhs, rhs, window_strides, padding,
@@ -206,9 +221,18 @@ def quant_conv_general_dilated(
         )
     out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
     # Kernel layout is HWIO under flax's NHWC convention: per-output-
-    # channel scales reduce over every dim but the last.
-    lq, sl = quantize_int8(lhs)  # per-tensor
-    rq, sr = quantize_int8(rhs, axes=tuple(range(rhs.ndim - 1)))
+    # channel scales reduce over every dim but the last. The activation
+    # stays per-TENSOR: per-pixel scales are unsound (the window mixes
+    # neighbouring pixels into one contraction), and per-batch-element
+    # (B,) scales — though mathematically exact — were measured to buy
+    # nothing while costing determinism: GroupNorm precedes nearly every
+    # SD conv, so per-sample ranges are already equalised, and the (B,)
+    # dequant broadcast made GSPMD reassociate the scale multiply
+    # differently per sharding layout (1-ulp drift -> int8 bucket flips
+    # between the sharded and unsharded programs, breaking the bitwise
+    # per-apply guarantee tests/test_parallel_inference.py pins).
+    lq, sl = quantize_int8(lhs)  # scalar
+    rq, sr = quantize_int8(rhs, axes=tuple(range(rhs.ndim - 1)))  # (O,)
     acc = jax.lax.conv_general_dilated(
         lq, rq, window_strides, padding,
         lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
