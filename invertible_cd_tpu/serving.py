@@ -1,0 +1,181 @@
+"""Request-batching executor: production serving on one compiled program.
+
+The reference has no serving story (its entry points are batch CLIs);
+this is the TPU-idiomatic one. Because every pipeline program here has
+STATIC shapes (pipelines/pipeline.py), a server should compile exactly
+one generate program at a fixed batch size and push every request
+through it — recompiles are the failure mode, not throughput. The
+executor makes that shape discipline operational:
+
+  * concurrent `submit()` calls enqueue (prompt, seed) requests;
+  * a single worker thread coalesces up to `batch_size` requests
+    (waiting at most `max_delay` for stragglers once it has one),
+    PADS the tail batch up to `batch_size` with repeats, and runs ONE
+    `pipe.generate` call — same program every time, asserted by the
+    zero-retrace stats;
+  * each request gets its own latent (drawn from its own seed), so
+    padding never changes a real request's output: row i of the batch
+    is a pure function of (prompt_i, latent_i) — batch-invariance is
+    pinned by tests/test_serving.py against direct pipeline calls.
+
+One worker thread owns all device dispatch; JAX's async dispatch means
+the host-side padding/unpadding of batch k overlaps the device compute
+of batch k-1. `stats()` reports batches, padded slots and the jit-cache
+size (which must stay flat after warmup).
+
+Usage:
+    pipe = InvertibleCD.sd15(...)
+    ex = BatchingExecutor(pipe, batch_size=8)
+    fut = ex.submit("a corgi", seed=7)
+    image = fut.result()          # (H, W, 3) float32 [0, 1]
+    ex.shutdown()
+
+`cli/serve.py` wraps this in an HTTP endpoint.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BatchingExecutor:
+    """Coalesce concurrent generation requests into fixed-size batches.
+
+    Args:
+      pipe: an InvertibleCD / InvertibleCDXL bundle.
+      batch_size: the one static batch the program compiles at.
+      max_delay: seconds the worker waits for more requests after the
+        first of a batch arrives (latency/throughput knob).
+      guidance: optional GuidanceConfig shared by every request (one
+        program per guidance config — vary it per-request and you pay a
+        compile per distinct config, so the executor fixes it).
+      model: student to sample from ("reverse" by default).
+    """
+
+    def __init__(
+        self,
+        pipe,
+        batch_size: int = 8,
+        max_delay: float = 0.01,
+        guidance=None,
+        model: str = "reverse",
+    ):
+        if batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        self.pipe = pipe
+        self.batch_size = batch_size
+        self.max_delay = max_delay
+        self.guidance = guidance or pipe.default_guidance()
+        self.model = model
+        self._queue: queue.Queue = queue.Queue()
+        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+        self._stats_lock = threading.Lock()
+        self._shutdown = threading.Event()
+        self._worker = threading.Thread(
+            target=self._run, name="icd-serving-worker", daemon=True
+        )
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, prompt: str, seed: Optional[int] = None) -> Future:
+        """Enqueue one request; the Future resolves to an (H, W, 3)
+        float32 [0, 1] numpy image."""
+        if self._shutdown.is_set():
+            raise RuntimeError("executor is shut down")
+        fut: Future = Future()
+        self._queue.put((prompt, seed, fut))
+        with self._stats_lock:
+            self._stats["requests"] += 1
+        return fut
+
+    def generate(self, prompt: str, seed: Optional[int] = None) -> np.ndarray:
+        """Synchronous convenience wrapper around submit()."""
+        return self.submit(prompt, seed).result()
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            out = dict(self._stats)
+        out["jit_programs"] = len(self.pipe._jit_cache)
+        return out
+
+    def shutdown(self, wait: bool = True):
+        self._shutdown.set()
+        # unblock the worker's queue.get
+        self._queue.put(None)
+        if wait:
+            self._worker.join(timeout=60)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    # ------------------------------------------------------------------
+    def _collect(self):
+        """Block for the first request, then soak up to batch_size for
+        at most max_delay. Returns a list of (prompt, seed, future)."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        while len(batch) < self.batch_size:
+            try:
+                item = self._queue.get(timeout=self.max_delay)
+            except queue.Empty:
+                break
+            if item is None:
+                # propagate shutdown after serving what we have
+                self._queue.put(None)
+                break
+            batch.append(item)
+        return batch
+
+    def _latents(self, seeds: Sequence[int]) -> jax.Array:
+        h, w = self.pipe.latent_size
+        keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+        # one independent latent per request — vmapped fold of each seed
+        return jax.vmap(
+            lambda k: jax.random.normal(k, (h, w, 4), jnp.float32)
+        )(keys)
+
+    def _run(self):
+        rng = np.random.default_rng(0)
+        while True:
+            batch = self._collect()
+            if batch is None:
+                break
+            prompts = [p for p, _, _ in batch]
+            seeds = [
+                s if s is not None else int(rng.integers(0, 2**31 - 1))
+                for _, s, _ in batch
+            ]
+            n = len(batch)
+            pad = self.batch_size - n
+            if pad:
+                prompts = prompts + [prompts[-1]] * pad
+                seeds = seeds + [seeds[-1]] * pad
+            try:
+                latent = self._latents(seeds)
+                images, _ = self.pipe.generate(
+                    prompts,
+                    latent=latent,
+                    guidance=self.guidance,
+                    model=self.model,
+                )
+                images = np.asarray(images[:n])
+                for (_, _, fut), img in zip(batch, images):
+                    fut.set_result(img)
+            except Exception as e:  # noqa: BLE001 — futures carry the error
+                for _, _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+            with self._stats_lock:
+                self._stats["batches"] += 1
+                self._stats["padded_slots"] += pad

@@ -1,0 +1,135 @@
+"""Serving layer: request batching, batch invariance, zero retrace, HTTP.
+
+The executor's whole contract is that serving rides ONE compiled
+program: requests coalesce into fixed-size batches, tails get padded,
+and a request's image is a pure function of (prompt, seed) — the batch
+around it must not matter.
+"""
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from invertible_cd_tpu.serving import BatchingExecutor
+
+
+@pytest.fixture(scope="module")
+def served_pipe(tiny_pipe):
+    return tiny_pipe
+
+
+class TestBatchingExecutor:
+    def test_batch_invariance_and_padding(self, served_pipe):
+        pipe = served_pipe
+        bs = 4
+        with BatchingExecutor(pipe, batch_size=bs, max_delay=0.5) as ex:
+            img = ex.generate("a red fox", seed=11)
+            stats = ex.stats()
+        # a single request rides a padded full batch
+        assert stats["batches"] == 1 and stats["padded_slots"] == bs - 1
+
+        # direct call through the same program with the same row-0 inputs
+        latent = BatchingExecutor._latents(
+            type("E", (), {"pipe": pipe})(), [11] * bs
+        )
+        ref, _ = pipe.generate(
+            ["a red fox"] * bs, latent=latent,
+            guidance=pipe.default_guidance(),
+        )
+        np.testing.assert_array_equal(img, np.asarray(ref[0]))
+
+    def test_coalescing_and_zero_retrace(self, served_pipe):
+        pipe = served_pipe
+        bs = 4
+        with BatchingExecutor(pipe, batch_size=bs, max_delay=1.0) as ex:
+            # warmup compile
+            ex.generate("warmup", seed=0)
+            programs = len(pipe._jit_cache)
+            futs = [
+                ex.submit(f"prompt variant {i}", seed=i) for i in range(bs)
+            ]
+            imgs = [f.result(timeout=300) for f in futs]
+            stats = ex.stats()
+        assert all(np.isfinite(i).all() for i in imgs)
+        # the bs submissions landed in at most 2 device batches (the
+        # worker soaks max_delay=1s for stragglers), and nothing recompiled
+        assert stats["batches"] - 1 <= 2
+        assert len(pipe._jit_cache) == programs
+        # distinct seeds -> distinct latents -> distinct images
+        assert np.abs(imgs[0] - imgs[1]).max() > 0
+
+    def test_independent_seeds_reproducible(self, served_pipe):
+        pipe = served_pipe
+        with BatchingExecutor(pipe, batch_size=2, max_delay=0.05) as ex:
+            a = ex.generate("a lighthouse", seed=123)
+            b = ex.generate("a lighthouse", seed=123)
+        np.testing.assert_array_equal(a, b)
+
+    def test_submit_after_shutdown_raises(self, served_pipe):
+        ex = BatchingExecutor(served_pipe, batch_size=2)
+        ex.shutdown()
+        with pytest.raises(RuntimeError, match="shut down"):
+            ex.submit("too late")
+
+    def test_worker_failure_propagates_to_futures(self, served_pipe):
+        ex = BatchingExecutor(served_pipe, batch_size=2, max_delay=0.05)
+        original = ex.pipe.generate
+        try:
+            ex.pipe = type(ex.pipe)  # not a pipeline: generate will blow up
+            fut = ex.submit("boom")
+            with pytest.raises(Exception):
+                fut.result(timeout=60)
+        finally:
+            ex.pipe = None
+            ex.shutdown()
+            del original
+
+
+class TestHTTPServer:
+    @pytest.fixture()
+    def server(self, served_pipe):
+        from cli.serve import make_server, parse_args
+
+        args = parse_args(
+            ["--model", "tiny", "--port", "0", "--batch_size", "2",
+             "--max_delay_ms", "20"]
+        )
+        srv, ex = make_server(args, pipe=served_pipe)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield srv
+        srv.shutdown()
+        ex.shutdown()
+        srv.server_close()
+
+    def test_generate_and_healthz(self, server):
+        port = server.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt": "a cat", "seed": 5}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = r.read()
+            assert r.headers["Content-Type"] == "image/png"
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=60
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["requests"] >= 1
+
+    def test_bad_request_400(self, server):
+        port = server.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=b"{not json", method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=60)
+        assert err.value.code == 400
