@@ -19,6 +19,8 @@ Modes (`python bench.py [--mode MODE]`):
   edit           config 2: p50 invert+edit round trip (forward CD + p2p
                  AttentionReplace editing with dynamic tau guidance).
   sdxl           config 3: 4-step iCD-SDXL 1024x1024 generation.
+  serve          config 1c: 64 independent requests (distinct prompts +
+                 seeds) through serving.BatchingExecutor at batch 8.
   train          config 5: SD1.5 dual-student CD training step (the two
                  consistency losses) at batch 4, samples/sec/chip.
   train4         config 5b: the FULL 4-loss step (both preserve
@@ -253,6 +255,36 @@ def bench_sdxl(quantize="off"):
     }
 
 
+def bench_serve():
+    """config 1c: end-to-end serving throughput — 64 independent
+    requests (distinct prompts AND seeds, i.e. distinct latents, unlike
+    `gen`'s one shared latent) through serving.BatchingExecutor at
+    batch 8. Measures what a deployment actually gets: request
+    coalescing + padding + per-request latents + result fan-out, riding
+    one compiled program (asserted)."""
+    from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
+    from invertible_cd_tpu.serving import BatchingExecutor
+
+    pipe = InvertibleCD.sd15(dtype=jnp.bfloat16)
+    N, BS = 64, 8
+    with BatchingExecutor(pipe, batch_size=BS, max_delay=0.005) as ex:
+        ex.generate("warmup", seed=0)  # compile
+        programs = len(pipe._jit_cache)
+        t0 = time.perf_counter()
+        futs = [ex.submit(f"a photo of corgi number {i}", seed=i) for i in range(N)]
+        for f in futs:
+            f.result(timeout=600)
+        dt = time.perf_counter() - t0
+        assert len(pipe._jit_cache) == programs, "serving recompiled"
+    rps = N / dt
+    return {
+        "metric": "icd_sd15_serving_throughput",
+        "value": round(rps, 3),
+        "unit": "requests/sec/chip",
+        "vs_baseline": round(rps / REF_SD15_IMAGES_PER_SEC, 3),
+    }
+
+
 def bench_train(full_losses=False):
     from invertible_cd_tpu.diffusion.schedule import make_schedule
     from invertible_cd_tpu.diffusion.solver import make_train_solver
@@ -345,7 +377,7 @@ def main():
         "--mode", default="gen",
         choices=["gen", "gen_int8", "gen_int8_vae", "latency",
                  "latency_int8", "edit", "edit_sweep", "sdxl", "sdxl_int8",
-                 "train", "train4"],
+                 "serve", "train", "train4"],
     )
     args = ap.parse_args()
     result = {
@@ -354,6 +386,7 @@ def main():
         "gen_int8_vae": lambda: bench_gen(quantize="int8_vae"),
         "latency_int8": lambda: bench_latency(quantize="int8"),
         "sdxl_int8": lambda: bench_sdxl(quantize="int8"),
+        "serve": bench_serve,
         "edit_sweep": bench_edit_sweep, "sdxl": bench_sdxl,
         "train": bench_train,
         "train4": lambda: bench_train(full_losses=True),
