@@ -90,7 +90,6 @@ def main():
 
     print(f"{'shape':24} {'xla_ms':>8} {'pallas_ms':>10} {'speedup':>8}")
     wins = 0
-    results = []
     for name, b, sq, sk, h, d in SHAPES:
         rng = np.random.default_rng(0)
         q = jnp.asarray(rng.normal(size=(b, sq, h, d)), jnp.bfloat16)
@@ -104,7 +103,6 @@ def main():
             continue
         sp = t_xla / t_pal
         wins += sp > 1.0
-        results.append((name, t_xla, t_pal, sp))
         print(f"{name:24} {t_xla*1e3:8.3f} {t_pal*1e3:10.3f} {sp:8.2f}x")
     print(f"pallas faster on {wins}/{len(SHAPES)} shapes")
 

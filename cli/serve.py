@@ -56,12 +56,12 @@ def parse_args(argv=None):
 
 
 def _encode_png(img01) -> bytes:
-    import numpy as np
     from PIL import Image
 
-    arr = (np.clip(img01, 0.0, 1.0) * 255).round().astype(np.uint8)
+    from invertible_cd_tpu.pipelines import to_uint8
+
     buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format="PNG")
+    Image.fromarray(to_uint8(img01)).save(buf, format="PNG")
     return buf.getvalue()
 
 
@@ -112,8 +112,16 @@ def make_server(args, pipe=None):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict) or not isinstance(
+                    req.get("prompt"), str
+                ):
+                    raise ValueError(
+                        'body must be a JSON object with a string "prompt"'
+                    )
                 prompt = req["prompt"]
                 seed = req.get("seed")
+                if seed is not None and not isinstance(seed, int):
+                    raise ValueError('"seed" must be an integer')
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._reply(
                     400, json.dumps({"error": str(e)}).encode(),

@@ -394,9 +394,18 @@ def _roundtrip_fns(pipe, solver, w_embed_dim):
     """jit-compiled latent-level invert (forward student) / reconstruct
     (reverse student) on the training endpoint grid, both at guidance 0
     (the reference evaluates inversion only for unguided processes in both
-    directions, forward_eval.py:101-104,148-151)."""
+    directions, forward_eval.py:101-104,148-151).
+
+    Memoized on the pipe: log_validation_inversion and run_inversion_eval
+    each want these every cadence step — fresh @jax.jit closures would
+    re-trace (and remote-recompile) the multi-hop UNet programs per call;
+    cached ones just take the new merged params as arguments."""
     from invertible_cd_tpu.pipelines import sampler as S
     from invertible_cd_tpu.training.eval import grid_from_train_solver
+
+    cache_key = ("train_roundtrip", w_embed_dim)
+    if cache_key in pipe._jit_cache:
+        return pipe._jit_cache[cache_key]
 
     grid = grid_from_train_solver(solver)
     g = S.GuidanceConfig(guidance_scale=0.0, w_embed_dim=w_embed_dim)
@@ -415,6 +424,7 @@ def _roundtrip_fns(pipe, solver, w_embed_dim):
             grid, pipe.schedule, g,
         )
 
+    pipe._jit_cache[cache_key] = (invert, reconstruct)
     return invert, reconstruct
 
 

@@ -163,7 +163,14 @@ class InvertibleCD:
     # Jit program factory
     # ------------------------------------------------------------------
     def _get_jit(self, name: str, *static):
-        key = (name, self.quantize) + static
+        from ..models.attention import _ambient_tp
+
+        # The ambient mesh's tp size changes attention routing at TRACE
+        # time (models/attention.py: the Pallas custom call has no
+        # partitioning rule, so tp>1 must take the XLA path). Key the
+        # cache on it, or a program traced outside `with mesh:` would be
+        # silently reused inside it with the kernel baked in.
+        key = (name, self.quantize, _ambient_tp()) + static
         if key in self._jit_cache:
             return self._jit_cache[key]
         fn = getattr(self, "_build_" + name)(*static)

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Optional, Sequence
 
@@ -110,6 +111,19 @@ class BatchingExecutor:
         self._queue.put(None)
         if wait:
             self._worker.join(timeout=60)
+        # A submit() racing shutdown can pass the _shutdown check and
+        # enqueue BEHIND the sentinel; with the worker gone its future
+        # would hang forever (serve.py blocks 600 s on it). Drain and
+        # fail anything left.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                _, _, fut = item
+                if not fut.done():
+                    fut.set_exception(RuntimeError("executor is shut down"))
 
     def __enter__(self):
         return self
@@ -119,15 +133,22 @@ class BatchingExecutor:
 
     # ------------------------------------------------------------------
     def _collect(self):
-        """Block for the first request, then soak up to batch_size for
-        at most max_delay. Returns a list of (prompt, seed, future)."""
+        """Block for the first request, then soak up to batch_size until
+        a DEADLINE of max_delay after the first arrival (a per-get
+        timeout would restart the clock on every straggler and stretch
+        the wait to (batch_size-1)*max_delay). Returns a list of
+        (prompt, seed, future), or None on shutdown."""
         first = self._queue.get()
         if first is None:
             return None
         batch = [first]
+        deadline = time.monotonic() + self.max_delay
         while len(batch) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                item = self._queue.get(timeout=self.max_delay)
+                item = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
             if item is None:

@@ -124,11 +124,15 @@ class TestHTTPServer:
             health = json.loads(r.read())
         assert health["status"] == "ok" and health["requests"] >= 1
 
-    def test_bad_request_400(self, server):
+    @pytest.mark.parametrize(
+        "body",
+        [b"{not json", b'["a cat"]', b'"a cat"', b'{"prompt": 5}',
+         b'{"prompt": "a cat", "seed": "x"}'],
+    )
+    def test_bad_request_400(self, server, body):
         port = server.server_address[1]
         req = urllib.request.Request(
-            f"http://127.0.0.1:{port}/generate",
-            data=b"{not json", method="POST",
+            f"http://127.0.0.1:{port}/generate", data=body, method="POST",
         )
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(req, timeout=60)
