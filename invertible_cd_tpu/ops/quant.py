@@ -46,6 +46,14 @@ numerics.
 INFERENCE ONLY: the round() in the quantizers has zero gradient, so an
 int8 scope around a differentiated apply would train nothing. The
 trainer never enters a scope; training stays bf16.
+
+Known follow-up (measure before building): the dynamic per-tensor conv
+amax is an extra reduction pass over each conv input. XLA fuses it into
+the producer, but it still serializes against the quantize pass; if
+on-chip profiles show it costing real bandwidth on the VAE's 512^2
+activations, the fix is CALIBRATED static scales for convs only (dense
+layers should keep dynamic per-token scales — they are higher fidelity
+and their amax rides the row reduction for free).
 """
 from __future__ import annotations
 

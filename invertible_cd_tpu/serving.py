@@ -34,6 +34,7 @@ Usage:
 """
 from __future__ import annotations
 
+import contextlib
 import queue
 import threading
 import time
@@ -66,6 +67,7 @@ class BatchingExecutor:
         max_delay: float = 0.01,
         guidance=None,
         model: str = "reverse",
+        mesh=None,
     ):
         if batch_size < 1:
             raise ValueError("batch_size must be >= 1")
@@ -74,6 +76,21 @@ class BatchingExecutor:
         self.max_delay = max_delay
         self.guidance = guidance or pipe.default_guidance()
         self.model = model
+        # Multi-chip serving: a jax.sharding.Mesh with a "dp" axis
+        # shards each batch's latents over the chips (computation
+        # follows its inputs — XLA splits the whole program). Params are
+        # read as stored (replicate or fsdp-shard them beforehand via
+        # parallel.shard_params).
+        self.mesh = mesh
+        if mesh is not None:
+            dp = int(np.prod(
+                [mesh.shape[a] for a in ("dp", "fsdp") if a in mesh.shape]
+            ))
+            if batch_size % max(dp, 1) != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide over the mesh's "
+                    f"dp x fsdp = {dp} batch shards"
+                )
         self._queue: queue.Queue = queue.Queue()
         self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
         self._stats_lock = threading.Lock()
@@ -162,9 +179,14 @@ class BatchingExecutor:
         h, w = self.pipe.latent_size
         keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
         # one independent latent per request — vmapped fold of each seed
-        return jax.vmap(
+        latent = jax.vmap(
             lambda k: jax.random.normal(k, (h, w, 4), jnp.float32)
         )(keys)
+        if self.mesh is not None:
+            from .parallel import batch_sharding
+
+            latent = jax.device_put(latent, batch_sharding(self.mesh))
+        return latent
 
     def _run(self):
         rng = np.random.default_rng(0)
@@ -184,12 +206,16 @@ class BatchingExecutor:
                 seeds = seeds + [seeds[-1]] * pad
             try:
                 latent = self._latents(seeds)
-                images, _ = self.pipe.generate(
-                    prompts,
-                    latent=latent,
-                    guidance=self.guidance,
-                    model=self.model,
+                scope = self.mesh if self.mesh is not None else (
+                    contextlib.nullcontext()
                 )
+                with scope:
+                    images, _ = self.pipe.generate(
+                        prompts,
+                        latent=latent,
+                        guidance=self.guidance,
+                        model=self.model,
+                    )
                 images = np.asarray(images[:n])
                 for (_, _, fut), img in zip(batch, images):
                     fut.set_result(img)

@@ -34,7 +34,7 @@ class TestBatchingExecutor:
 
         # direct call through the same program with the same row-0 inputs
         latent = BatchingExecutor._latents(
-            type("E", (), {"pipe": pipe})(), [11] * bs
+            type("E", (), {"pipe": pipe, "mesh": None})(), [11] * bs
         )
         ref, _ = pipe.generate(
             ["a red fox"] * bs, latent=latent,
@@ -68,6 +68,32 @@ class TestBatchingExecutor:
             a = ex.generate("a lighthouse", seed=123)
             b = ex.generate("a lighthouse", seed=123)
         np.testing.assert_array_equal(a, b)
+
+    def test_mesh_sharded_serving_matches_single_device(self, served_pipe):
+        """mesh= shards each batch's latents over dp chips; a request's
+        image must match the single-device executor for the same seed
+        (to sharded-program tolerance)."""
+        from invertible_cd_tpu.parallel import make_mesh
+
+        pipe = served_pipe
+        with BatchingExecutor(pipe, batch_size=4, max_delay=0.3) as ex:
+            ref = [ex.submit(f"mesh prompt {i}", seed=100 + i) for i in range(4)]
+            ref = [f.result(timeout=300) for f in ref]
+        mesh = make_mesh(dp=4, fsdp=1, devices=jax.devices()[:4])
+        with BatchingExecutor(
+            pipe, batch_size=4, max_delay=0.3, mesh=mesh
+        ) as ex:
+            got = [ex.submit(f"mesh prompt {i}", seed=100 + i) for i in range(4)]
+            got = [f.result(timeout=300) for f in got]
+        for a, b in zip(ref, got):
+            np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+
+    def test_mesh_batch_divisibility_validated(self, served_pipe):
+        from invertible_cd_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp=4, fsdp=1, devices=jax.devices()[:4])
+        with pytest.raises(ValueError, match="must divide"):
+            BatchingExecutor(served_pipe, batch_size=3, mesh=mesh)
 
     def test_submit_after_shutdown_raises(self, served_pipe):
         ex = BatchingExecutor(served_pipe, batch_size=2)
