@@ -40,11 +40,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--trace", default=None)
+    ap.add_argument("--quantize", default="off",
+                    choices=["off", "int8", "int8_vae"],
+                    help="profile the int8 MXU path (ops/quant.py)")
     args = ap.parse_args()
 
+    from invertible_cd_tpu.ops.quant import quant_scope
     from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
 
-    pipe = InvertibleCD.sd15(dtype=jnp.bfloat16)
+    pipe = InvertibleCD.sd15(dtype=jnp.bfloat16, quantize=args.quantize)
+    unet_mode = "int8" if args.quantize == "int8" else "off"
+    vae_mode = "int8" if args.quantize != "off" else "off"
     b = args.batch
     prompts = ["a photo of a corgi on the beach"] * b
 
@@ -59,15 +65,18 @@ def main():
     ctx = jnp.zeros((b, 77, 768), jnp.bfloat16)
     w_emb = jnp.zeros((b, 512), jnp.bfloat16)
 
-    unet_fn = jax.jit(
-        lambda p, x, t, c, w: pipe.unet.apply(p, x, t, c, w_cond=w)
-    )
+    def _unet(p, x, t, c, w):
+        with quant_scope(unet_mode):
+            return pipe.unet.apply(p, x, t, c, w_cond=w)
+
+    unet_fn = jax.jit(_unet)
 
     def stage_unet():
         _fence(
             unet_fn(pipe.params["reverse"], latent, jnp.full((b,), 999, jnp.int32), ctx, w_emb)
         )
 
+    del vae_mode  # _decode_latents reads pipe.quantize itself
     dec = jax.jit(lambda p, z: pipe._decode_latents(p, z))
 
     def stage_vae():
