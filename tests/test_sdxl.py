@@ -21,6 +21,20 @@ class TestSDXL:
         assert lat.shape == (1, 16, 16, 4)
         assert np.isfinite(np.asarray(imgs)).all()
 
+    def test_generate_int8(self, pipe):
+        """quantize='int8' on the XL pipeline (dual encoders stay bf16;
+        the fp32 VAE quantizes too — per-channel scales adapt to its
+        range, unlike a blanket dtype cut)."""
+        ref, _ = pipe.generate(["a cat"], key=jax.random.PRNGKey(1))
+        pipe.quantize = "int8"
+        try:
+            imgs, _ = pipe.generate(["a cat"], key=jax.random.PRNGKey(1))
+        finally:
+            pipe.quantize = "off"
+        assert np.isfinite(np.asarray(imgs)).all()
+        diff = np.abs(np.asarray(imgs) - np.asarray(ref))
+        assert 0 < diff.max() and diff.mean() < 0.2
+
     def test_added_cond_changes_output(self, pipe):
         """Pooled-text conditioning must reach the UNet."""
         imgs_a, _ = pipe.generate(["a cat"], key=jax.random.PRNGKey(2))

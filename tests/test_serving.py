@@ -95,6 +95,13 @@ class TestBatchingExecutor:
         with pytest.raises(ValueError, match="must divide"):
             BatchingExecutor(served_pipe, batch_size=3, mesh=mesh)
 
+    def test_sdxl_pipeline_serves(self, tiny_pipe_xl):
+        """The executor is pipeline-agnostic: the SDXL bundle's added
+        conditioning rides inside generate()."""
+        with BatchingExecutor(tiny_pipe_xl, batch_size=2, max_delay=0.05) as ex:
+            img = ex.generate("an sdxl prompt", seed=3)
+        assert np.isfinite(img).all() and img.ndim == 3
+
     def test_submit_after_shutdown_raises(self, served_pipe):
         ex = BatchingExecutor(served_pipe, batch_size=2)
         ex.shutdown()
