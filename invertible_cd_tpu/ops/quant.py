@@ -17,9 +17,11 @@ it is an opt-in capability of the TPU port:
     a ~25+ ms MXU win), and keeping the stored params in bf16 means the
     checkpoint format, the torch converters, and LoRA fusion are all
     untouched.
-  * activations: symmetric per-tensor DYNAMIC int8 (the scale is
-    computed from the live tensor's amax inside the program). No
-    calibration pass, no recorded statistics, no extra state.
+  * activations: symmetric DYNAMIC int8 (scales computed from the live
+    tensor's amax inside the program) — per-TOKEN for dense layers
+    (the scale factors out of the feature-axis contraction exactly),
+    per-tensor for convs. No calibration pass, no recorded statistics,
+    no extra state.
   * accumulation: int32 on the MXU, dequantized by the product of the
     two scales straight into the layer's compute dtype; bias adds and
     everything around the matmul stay bf16/fp32.
@@ -145,9 +147,9 @@ def quant_dot_general(
 
     Outside an int8 scope (or for any contraction pattern other than the
     dense layer's last-dim @ first-dim, or non-float operands) this IS
-    `lax.dot_general` — bit-identical programs. Inside the scope: lhs is
-    per-tensor dynamically quantized, rhs (the kernel, (K, N)) gets one
-    scale per output column, and the MXU runs int8 x int8 -> int32."""
+    `lax.dot_general` — bit-identical programs. Inside the scope: lhs
+    gets one dynamic scale per row (token), rhs (the kernel, (K, N))
+    one per output column, and the MXU runs int8 x int8 -> int32."""
     dense_dims = (((lhs.ndim - 1,), (0,)), ((), ()))
     if (
         current_quant_mode() != "int8"
