@@ -129,7 +129,15 @@ def make_server(args, pipe=None):
                 )
                 return
             try:
-                img = executor.submit(prompt, seed=seed).result(timeout=600)
+                fut = executor.submit(prompt, seed=seed)
+            except ValueError as e:  # e.g. seed outside int64
+                self._reply(
+                    400, json.dumps({"error": str(e)}).encode(),
+                    "application/json",
+                )
+                return
+            try:
+                img = fut.result(timeout=600)
             except Exception as e:  # noqa: BLE001 — surface as a 500
                 self._reply(
                     500, json.dumps({"error": str(e)}).encode(),

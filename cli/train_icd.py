@@ -399,15 +399,22 @@ def _roundtrip_fns(pipe, solver, w_embed_dim):
     Memoized on the pipe: log_validation_inversion and run_inversion_eval
     each want these every cadence step — fresh @jax.jit closures would
     re-trace (and remote-recompile) the multi-hop UNet programs per call;
-    cached ones just take the new merged params as arguments."""
+    cached ones just take the new merged params as arguments. The memo
+    lives in its OWN attribute (not pipe._jit_cache, which log_validation
+    deliberately clears around its grid swap) and keys on the solver's
+    endpoint grid, so a different solver never gets stale programs."""
     from invertible_cd_tpu.pipelines import sampler as S
     from invertible_cd_tpu.training.eval import grid_from_train_solver
 
-    cache_key = ("train_roundtrip", w_embed_dim)
-    if cache_key in pipe._jit_cache:
-        return pipe._jit_cache[cache_key]
-
     grid = grid_from_train_solver(solver)
+    cache = pipe.__dict__.setdefault("_train_roundtrip_cache", {})
+    cache_key = (
+        w_embed_dim,
+        tuple(grid.reverse_timesteps), tuple(grid.reverse_boundaries),
+        tuple(grid.forward_timesteps), tuple(grid.forward_boundaries),
+    )
+    if cache_key in cache:
+        return cache[cache_key]
     g = S.GuidanceConfig(guidance_scale=0.0, w_embed_dim=w_embed_dim)
 
     @jax.jit
@@ -424,7 +431,7 @@ def _roundtrip_fns(pipe, solver, w_embed_dim):
             grid, pipe.schedule, g,
         )
 
-    pipe._jit_cache[cache_key] = (invert, reconstruct)
+    cache[cache_key] = (invert, reconstruct)
     return invert, reconstruct
 
 

@@ -463,8 +463,12 @@ def to_model_pixels(image: np.ndarray) -> jax.Array:
 
 
 def to_uint8(images: jax.Array) -> np.ndarray:
-    """float [0,1] -> uint8 numpy (host)."""
-    return np.asarray(jnp.round(jnp.clip(images, 0, 1) * 255).astype(jnp.uint8))
+    """float [0,1] -> uint8 numpy. Pure host-side numpy: the input is
+    being exported anyway, and jnp ops here would commit an
+    already-fetched image back to the (possibly remote) device for a
+    trivial elementwise pass."""
+    arr = np.asarray(images)
+    return np.round(np.clip(arr, 0, 1) * 255).astype(np.uint8)
 
 
 def init_zero_params(unet, text, vae, unet_cfg, clip_cfg, latent_size,

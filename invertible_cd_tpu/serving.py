@@ -83,18 +83,22 @@ class BatchingExecutor:
         # parallel.shard_params).
         self.mesh = mesh
         if mesh is not None:
-            dp = int(np.prod(
-                [mesh.shape[a] for a in ("dp", "fsdp") if a in mesh.shape]
-            ))
-            if batch_size % max(dp, 1) != 0:
+            # batch_sharding shards the leading axis over "dp" ONLY
+            # (fsdp shards params, not the batch) — validate against that
+            dp = int(mesh.shape.get("dp", 1))
+            if dp > 1 and batch_size % dp != 0:
                 raise ValueError(
                     f"batch_size {batch_size} must divide over the mesh's "
-                    f"dp x fsdp = {dp} batch shards"
+                    f"dp={dp} batch shards"
                 )
         self._queue: queue.Queue = queue.Queue()
         self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
         self._stats_lock = threading.Lock()
         self._shutdown = threading.Event()
+        # serializes submit()'s check-then-put against shutdown()'s
+        # set-then-drain (without it a submit could pass the check, lose
+        # the CPU, and enqueue after the drain — its future would hang)
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(
             target=self._run, name="icd-serving-worker", daemon=True
         )
@@ -103,11 +107,18 @@ class BatchingExecutor:
     # ------------------------------------------------------------------
     def submit(self, prompt: str, seed: Optional[int] = None) -> Future:
         """Enqueue one request; the Future resolves to an (H, W, 3)
-        float32 [0, 1] numpy image."""
-        if self._shutdown.is_set():
-            raise RuntimeError("executor is shut down")
-        fut: Future = Future()
-        self._queue.put((prompt, seed, fut))
+        float32 [0, 1] numpy image.
+
+        Raises ValueError for an out-of-range seed HERE rather than
+        letting PRNGKey blow up in the worker — one bad request must not
+        poison the whole coalesced batch."""
+        if seed is not None and not (-(2**63) <= seed < 2**63):
+            raise ValueError("seed must fit in int64")
+        with self._submit_lock:
+            if self._shutdown.is_set():
+                raise RuntimeError("executor is shut down")
+            fut: Future = Future()
+            self._queue.put((prompt, seed, fut))
         with self._stats_lock:
             self._stats["requests"] += 1
         return fut
@@ -123,24 +134,33 @@ class BatchingExecutor:
         return out
 
     def shutdown(self, wait: bool = True):
-        self._shutdown.set()
-        # unblock the worker's queue.get
-        self._queue.put(None)
+        with self._submit_lock:
+            # under the lock: no submit can be mid check-then-put, so
+            # after this point every submit() raises instead of enqueuing
+            self._shutdown.set()
+            # unblock the worker's queue.get
+            self._queue.put(None)
         if wait:
-            self._worker.join(timeout=60)
-        # A submit() racing shutdown can pass the _shutdown check and
-        # enqueue BEHIND the sentinel; with the worker gone its future
-        # would hang forever (serve.py blocks 600 s on it). Drain and
-        # fail anything left.
+            self._worker.join(timeout=600)
+        # Fail whatever is still queued (enqueued before the sentinel but
+        # never collected). If the worker is STILL alive (join timed out
+        # mid-batch, or wait=False), the drain may have consumed its
+        # sentinel — put one back so the worker exits instead of blocking
+        # forever in queue.get().
+        drained_sentinel = False
         while True:
             try:
                 item = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if item is not None:
+            if item is None:
+                drained_sentinel = True
+            else:
                 _, _, fut = item
                 if not fut.done():
                     fut.set_exception(RuntimeError("executor is shut down"))
+        if drained_sentinel and self._worker.is_alive():
+            self._queue.put(None)
 
     def __enter__(self):
         return self
@@ -218,7 +238,8 @@ class BatchingExecutor:
                     )
                 images = np.asarray(images[:n])
                 for (_, _, fut), img in zip(batch, images):
-                    fut.set_result(img)
+                    if not fut.done():  # client may have cancel()ed
+                        fut.set_result(img)
             except Exception as e:  # noqa: BLE001 — futures carry the error
                 for _, _, fut in batch:
                     if not fut.done():

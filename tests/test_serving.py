@@ -102,6 +102,24 @@ class TestBatchingExecutor:
             img = ex.generate("an sdxl prompt", seed=3)
         assert np.isfinite(img).all() and img.ndim == 3
 
+    def test_out_of_range_seed_rejected_at_submit(self, served_pipe):
+        """A bad seed must fail ITS request, not poison the batch."""
+        with BatchingExecutor(served_pipe, batch_size=2, max_delay=0.3) as ex:
+            with pytest.raises(ValueError, match="int64"):
+                ex.submit("x", seed=2**80)
+            # neighbours are unaffected
+            img = ex.generate("a fine request", seed=1)
+        assert np.isfinite(img).all()
+
+    def test_cancelled_future_does_not_poison_batch(self, served_pipe):
+        with BatchingExecutor(served_pipe, batch_size=2, max_delay=0.5) as ex:
+            ex.generate("warmup", seed=0)  # compile so the batch is fast
+            f1 = ex.submit("to be cancelled", seed=1)
+            cancelled = f1.cancel()
+            f2 = ex.submit("still wants an image", seed=2)
+            img = f2.result(timeout=300)
+        assert cancelled and np.isfinite(img).all()
+
     def test_submit_after_shutdown_raises(self, served_pipe):
         ex = BatchingExecutor(served_pipe, batch_size=2)
         ex.shutdown()
@@ -160,7 +178,8 @@ class TestHTTPServer:
     @pytest.mark.parametrize(
         "body",
         [b"{not json", b'["a cat"]', b'"a cat"', b'{"prompt": 5}',
-         b'{"prompt": "a cat", "seed": "x"}'],
+         b'{"prompt": "a cat", "seed": "x"}',
+         b'{"prompt": "a cat", "seed": 1208925819614629174706176}'],
     )
     def test_bad_request_400(self, server, body):
         port = server.server_address[1]

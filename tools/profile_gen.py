@@ -50,7 +50,6 @@ def main():
 
     pipe = InvertibleCD.sd15(dtype=jnp.bfloat16, quantize=args.quantize)
     unet_mode = "int8" if args.quantize == "int8" else "off"
-    vae_mode = "int8" if args.quantize != "off" else "off"
     b = args.batch
     prompts = ["a photo of a corgi on the beach"] * b
 
@@ -76,7 +75,7 @@ def main():
             unet_fn(pipe.params["reverse"], latent, jnp.full((b,), 999, jnp.int32), ctx, w_emb)
         )
 
-    del vae_mode  # _decode_latents reads pipe.quantize itself
+    # (_decode_latents reads pipe.quantize itself, so no scope needed)
     dec = jax.jit(lambda p, z: pipe._decode_latents(p, z))
 
     def stage_vae():
