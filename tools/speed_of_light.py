@@ -108,15 +108,27 @@ def analyze(name, fn, args, measure):
 
 
 def main():
+    global PEAK_TFLOPS
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--no-measure", action="store_true")
+    ap.add_argument("--quantize", default="off",
+                    choices=["off", "int8", "int8_vae"],
+                    help="analyze the int8 path against the 394 TOPS "
+                         "int8 peak (approximation: treats ALL stage "
+                         "FLOPs as int8-eligible; attention/softmax and "
+                         "norms stay bf16, so true floors sit slightly "
+                         "higher)")
     args = ap.parse_args()
     measure = not args.no_measure
+    if args.quantize != "off":
+        PEAK_TFLOPS = 394.0  # v5e int8
 
+    from invertible_cd_tpu.ops.quant import quant_scope
     from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
 
-    pipe = InvertibleCD.sd15(dtype=jnp.bfloat16)
+    pipe = InvertibleCD.sd15(dtype=jnp.bfloat16, quantize=args.quantize)
+    unet_mode = "int8" if args.quantize == "int8" else "off"
     b = args.batch
 
     latent = jnp.zeros((b, 64, 64, 4), jnp.bfloat16)
@@ -138,9 +150,13 @@ def main():
         # round-trip (~35 ms) around a ~1 ms stage — floor-only instead.
         measure=False,
     )
+    def _unet(x, t, c, w, p):
+        with quant_scope(unet_mode):
+            return pipe.unet.apply(p, x, t, c, w_cond=w)
+
     analyze(
         "unet_call",
-        lambda x, t, c, w, p: pipe.unet.apply(p, x, t, c, w_cond=w),
+        _unet,
         (latent, t999, ctx, w_emb, pipe.params["reverse"]),
         measure,
     )
