@@ -11,11 +11,13 @@ Modes (`python bench.py [--mode MODE]`):
                  whose measured numbers are recorded in README.md.
   latency        config 1b: batch-1 generation latency (the reference
                  protocol's shape).
-  gen_int8 / gen_int8_vae / latency_int8
+  gen_int8 / gen_int8_vae / gen_int8_static / latency_int8
                  the same configs with opt-in int8 MXU inference
-                 (pipelines quantize="int8"/"int8_vae", ops/quant.py);
-                 reported separately — the bf16 numbers stay the
-                 apples-to-apples headline vs the fp16 reference.
+                 (pipelines quantize=..., ops/quant.py); int8_static
+                 additionally runs collect_quant_stats first (calibrated
+                 conv scales — no dynamic amax pass). Reported
+                 separately — the bf16 numbers stay the apples-to-apples
+                 headline vs the fp16 reference.
   edit           config 2: p50 invert+edit round trip (forward CD + p2p
                  AttentionReplace editing with dynamic tau guidance).
   sdxl           config 3: 4-step iCD-SDXL 1024x1024 generation.
@@ -86,6 +88,9 @@ def bench_gen(quantize="off"):
     from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
 
     pipe = InvertibleCD.sd15(dtype=jnp.bfloat16, quantize=quantize)
+    if quantize == "int8_static":
+        # one-time calibration pass (its own compile; excluded from timing)
+        pipe.collect_quant_stats(["a photo of a corgi on the beach"] * 4)
 
     # config 1: batch-16 throughput (headline; gen_int8 measures the
     # opt-in int8 MXU path — same program shape, quantized matmuls/convs)
@@ -376,14 +381,15 @@ def main():
     ap.add_argument(
         "--mode", default="gen",
         choices=["gen", "gen_int8", "gen_int8_vae", "latency",
-                 "latency_int8", "edit", "edit_sweep", "sdxl", "sdxl_int8",
-                 "serve", "train", "train4"],
+                 "latency_int8", "gen_int8_static", "edit", "edit_sweep",
+                 "sdxl", "sdxl_int8", "serve", "train", "train4"],
     )
     args = ap.parse_args()
     result = {
         "gen": bench_gen, "latency": bench_latency, "edit": bench_edit,
         "gen_int8": lambda: bench_gen(quantize="int8"),
         "gen_int8_vae": lambda: bench_gen(quantize="int8_vae"),
+        "gen_int8_static": lambda: bench_gen(quantize="int8_static"),
         "latency_int8": lambda: bench_latency(quantize="int8"),
         "sdxl_int8": lambda: bench_sdxl(quantize="int8"),
         "serve": bench_serve,

@@ -49,13 +49,16 @@ INFERENCE ONLY: the round() in the quantizers has zero gradient, so an
 int8 scope around a differentiated apply would train nothing. The
 trainer never enters a scope; training stays bf16.
 
-Known follow-up (measure before building): the dynamic per-tensor conv
-amax is an extra reduction pass over each conv input. XLA fuses it into
-the producer, but it still serializes against the quantize pass; if
-on-chip profiles show it costing real bandwidth on the VAE's 512^2
-activations, the fix is CALIBRATED static scales for convs only (dense
-layers should keep dynamic per-token scales — they are higher fidelity
-and their amax rides the row reduction for free).
+The dynamic per-tensor conv amax is an extra reduction pass over each
+conv input (XLA fuses it into the producer, but it still serializes
+against the quantize pass). The production answer is the "int8_static"
+mode: `pipeline.collect_quant_stats()` calibrates per-conv activation
+scales into a 'quant_stats' collection (running amax keyed by module
+path, gathered through flax `intercept_methods` — zero model-code
+changes), and static inference reads them instead of recomputing. Dense
+layers keep dynamic per-token scales in every mode (higher fidelity,
+and their amax rides the row reduction for free); convs without stats
+fall back to dynamic bit-exactly.
 """
 from __future__ import annotations
 
@@ -69,14 +72,69 @@ import jax.numpy as jnp
 _QUANT_MODE: contextvars.ContextVar[str] = contextvars.ContextVar(
     "icd_tpu_quant_mode", default="off"
 )
+# Per-call stash for a calibrated conv-input amax: the static-scale
+# interceptor (module level — knows WHICH conv is tracing) sets it right
+# before the conv body runs; quant_conv_general_dilated (lax level — has
+# no module identity) consumes it. Tracing is single-threaded, and the
+# interceptor resets the var in a finally, so calls cannot leak into
+# each other.
+_STATIC_AMAX: contextvars.ContextVar = contextvars.ContextVar(
+    "icd_tpu_static_amax", default=None
+)
 
-#: Modes understood by quant_scope / the Q-layers.
-MODES = ("off", "int8")
+#: Modes understood by quant_scope / the Q-layers:
+#:   off         — bit-identical to stock flax layers.
+#:   int8        — dynamic scales (per-token dense, per-tensor conv).
+#:   int8_static — like int8, but convs use CALIBRATED per-layer scales
+#:                 from a 'quant_stats' collection (collect_quant_stats),
+#:                 removing the dynamic amax pass over each conv input;
+#:                 convs without stats gracefully stay dynamic. Dense
+#:                 layers keep dynamic per-token scales (strictly higher
+#:                 fidelity; their amax rides the row reduction).
+#:   calibrate   — FLOAT math; conv-input amaxes are sown into
+#:                 'quant_stats' (apply with mutable=['quant_stats']).
+MODES = ("off", "int8", "int8_static", "calibrate")
 
 
 def current_quant_mode() -> str:
     """The quantization mode active for code tracing right now."""
     return _QUANT_MODE.get()
+
+
+def _is_quant_conv(module) -> bool:
+    return (
+        getattr(module, "conv_general_dilated", None)
+        is quant_conv_general_dilated
+    )
+
+
+def _calibration_interceptor(next_fun, args, kwargs, context):
+    """Sow each quantized conv's input amax (running max across calls)
+    into the 'quant_stats' collection, keyed by the module's own path —
+    no call-order bookkeeping. Active inside quant_scope('calibrate')."""
+    m = context.module
+    if _is_quant_conv(m) and args and hasattr(args[0], "astype"):
+        amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+        m.sow(
+            "quant_stats", "act_amax", amax,
+            init_fn=lambda: jnp.zeros((), jnp.float32),
+            reduce_fn=jnp.maximum,
+        )
+    return next_fun(*args, **kwargs)
+
+
+def _static_scale_interceptor(next_fun, args, kwargs, context):
+    """Hand each quantized conv its calibrated amax (if present in the
+    'quant_stats' collection passed to apply). Active inside
+    quant_scope('int8_static')."""
+    m = context.module
+    if _is_quant_conv(m) and m.has_variable("quant_stats", "act_amax"):
+        token = _STATIC_AMAX.set(m.get_variable("quant_stats", "act_amax"))
+        try:
+            return next_fun(*args, **kwargs)
+        finally:
+            _STATIC_AMAX.reset(token)
+    return next_fun(*args, **kwargs)
 
 
 @contextlib.contextmanager
@@ -88,6 +146,19 @@ def quant_scope(mode: str):
     inside a function being traced by `jax.jit`."""
     if mode not in MODES:
         raise ValueError(f"unknown quant mode {mode!r}; expected one of {MODES}")
+    import flax.linen as nn
+
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(_scope_token(mode))
+        if mode == "calibrate":
+            stack.enter_context(nn.intercept_methods(_calibration_interceptor))
+        elif mode == "int8_static":
+            stack.enter_context(nn.intercept_methods(_static_scale_interceptor))
+        yield
+
+
+@contextlib.contextmanager
+def _scope_token(mode: str):
     token = _QUANT_MODE.set(mode)
     try:
         yield
@@ -152,7 +223,7 @@ def quant_dot_general(
     one per output column, and the MXU runs int8 x int8 -> int32."""
     dense_dims = (((lhs.ndim - 1,), (0,)), ((), ()))
     if (
-        current_quant_mode() != "int8"
+        current_quant_mode() not in ("int8", "int8_static")
         or dimension_numbers != dense_dims
         or rhs.ndim != 2
         or not jnp.issubdtype(lhs.dtype, jnp.floating)
@@ -214,7 +285,7 @@ def quant_conv_general_dilated(
         )
 
     if (
-        current_quant_mode() != "int8"
+        current_quant_mode() not in ("int8", "int8_static")
         or feature_group_count != 1
         or not _trivial(lhs_dilation)
         or not _trivial(rhs_dilation)
@@ -241,7 +312,17 @@ def quant_conv_general_dilated(
     # differently per sharding layout (1-ulp drift -> int8 bucket flips
     # between the sharded and unsharded programs, breaking the bitwise
     # per-apply guarantee tests/test_parallel_inference.py pins).
-    lq, sl = quantize_int8(lhs)  # scalar
+    static_amax = _STATIC_AMAX.get()
+    if current_quant_mode() == "int8_static" and static_amax is not None:
+        # calibrated scale (collect_quant_stats): skip the dynamic amax
+        # pass over this conv's input; clip() below bounds anything the
+        # calibration set did not cover.
+        amax = jnp.maximum(jnp.asarray(static_amax, jnp.float32), 1e-12)
+        sl = amax / 127.0
+        q = jnp.round(lhs.astype(jnp.float32) * (127.0 / amax))
+        lq = jnp.clip(q, -127, 127).astype(jnp.int8)
+    else:
+        lq, sl = quantize_int8(lhs)  # scalar, dynamic
     rq, sr = quantize_int8(rhs, axes=tuple(range(rhs.ndim - 1)))  # (O,)
     acc = jax.lax.conv_general_dilated(
         lq, rq, window_strides, padding,

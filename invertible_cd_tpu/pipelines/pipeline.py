@@ -64,15 +64,20 @@ class InvertibleCD:
     #: "int8" runs every UNet *and* VAE matmul/conv as int8 on the MXU
     #: (2x bf16 peak on v5e); "int8_vae" quantizes only the VAE decode/
     #: encode (the most conservative trade: the decode is 1/3 of a
-    #: batch-16 generate and images tolerate int8 well). CLIP always
-    #: stays bf16. The jit cache keys on this, so flipping it after
-    #: construction retraces cleanly.
+    #: batch-16 generate and images tolerate int8 well); "int8_static"
+    #: is int8 with CALIBRATED per-conv activation scales — run
+    #: collect_quant_stats() once first (convs without stats stay
+    #: dynamic). CLIP always stays bf16. The jit cache keys on this, so
+    #: flipping it after construction retraces cleanly.
     quantize: str = "off"
 
+    _QUANT_MODES = ("off", "int8", "int8_vae", "int8_static")
+
     def __post_init__(self):
-        if self.quantize not in ("off", "int8", "int8_vae"):
+        if self.quantize not in self._QUANT_MODES:
             raise ValueError(
-                f"quantize={self.quantize!r}; expected off | int8 | int8_vae"
+                f"quantize={self.quantize!r}; expected one of "
+                f"{self._QUANT_MODES}"
             )
         self._jit_cache: Dict = {}
 
@@ -206,14 +211,21 @@ class InvertibleCD:
                     }
                 else:
                     added_b = added
-            with quant_scope("int8" if self.quantize == "int8" else "off"):
+            with quant_scope(self._unet_quant_mode()):
                 return self.unet.apply(
                     params, latent, jnp.full((b,), t, jnp.int32), context,
                     w_cond=w_emb, added_cond=added_b, attn_hook=hook,
                 )
         return nm
 
+    def _unet_quant_mode(self) -> str:
+        if self.quantize in ("int8", "int8_static"):
+            return self.quantize
+        return "off"
+
     def _vae_quant_mode(self) -> str:
+        if self.quantize == "int8_static":
+            return "int8_static"
         return "int8" if self.quantize in ("int8", "int8_vae") else "off"
 
     def _decode_latents(self, params, latents):
@@ -442,6 +454,120 @@ class InvertibleCD:
         return fn(
             self.params["teacher"], self.params["vae"], pixels, ctx_u, ctx_c, added
         )
+
+    def collect_quant_stats(
+        self,
+        prompts: Sequence[str] = ("a photo of a corgi on the beach",),
+        key: Optional[jax.Array] = None,
+        models: Sequence[str] = ("reverse", "forward"),
+        guidance: Optional["S.GuidanceConfig"] = None,
+    ) -> None:
+        """Calibrate the int8_static conv scales (ops/quant.py).
+
+        Runs each student's UNet at every grid timestep and the VAE
+        decoder/encoder once, under quant_scope('calibrate') — conv
+        input amaxes accumulate (running max, keyed by module path) into
+        a 'quant_stats' collection that is merged into `self.params`, so
+        every later apply under quantize='int8_static' reads it with no
+        pipeline plumbing.
+
+        Approximation, documented deliberately: the sampler's
+        one-program design does not expose mid-trajectory latents, so
+        the UNet is calibrated at each grid timestep on the initial
+        noise latent AND on schedule-noised versions of the bf16 run's
+        final latent (a good stand-in for mid-trajectory inputs: each
+        hop's input is exactly an alpha-blend of a clean latent and
+        noise at that t); the VAE calibrates on the true final latent.
+        Statistics come from the caller's prompt set. int8_static clips
+        anything the calibration missed; for maximum fidelity use
+        quantize='int8' (fully dynamic) instead."""
+        from ..diffusion.guidance import guidance_scale_embedding
+        from ..diffusion.schedule import add_noise
+        from ..ops.quant import quant_scope
+
+        prompts = list(prompts)
+        b = len(prompts)
+        g = guidance or self.default_guidance()
+        key = key if key is not None else jax.random.PRNGKey(0)
+        _, ctx_c, added = self._encode_all(prompts, need_uncond=False)
+        latent = self.init_latent(key, b, dtype=jnp.bfloat16)
+
+        # bf16 reference run: its final latent anchors the calibration
+        old_quantize = self.quantize
+        self.quantize = "off"
+        try:
+            _, final_lat = self.generate(prompts, key=key, guidance=g)
+        finally:
+            self.quantize = old_quantize
+        noise = jax.random.normal(
+            jax.random.fold_in(key, 1), final_lat.shape, jnp.float32
+        )
+        w_emb = None
+        if g.w_embed_dim:
+            w_emb = guidance_scale_embedding(
+                jnp.full((b,), g.guidance_scale, jnp.float32),
+                g.w_embed_dim, dtype=latent.dtype,
+            )
+
+        def unet_calib(params, lat, t, ctx, w):
+            with quant_scope("calibrate"):
+                return self.unet.apply(
+                    params, lat, t, ctx,
+                    w_cond=w, added_cond=added or None,
+                    mutable=["quant_stats"],
+                )
+
+        def merge(old, new):
+            if old is None:
+                return new
+            return jax.tree.map(jnp.maximum, old, new)
+
+        for model in models:
+            stats = None
+            grid_ts = (
+                self.grid.reverse_timesteps if model != "forward"
+                else self.grid.forward_timesteps
+            )
+            w = w_emb if model != "forward" else (
+                guidance_scale_embedding(
+                    jnp.zeros((b,), jnp.float32), g.w_embed_dim,
+                    dtype=latent.dtype,
+                ) if g.w_embed_dim else None
+            )
+            fn = jax.jit(unet_calib)  # t is traced: ONE compile per model
+            for t in grid_ts:
+                t_arr = jnp.full((b,), int(t), jnp.int32)
+                noised = add_noise(
+                    self.schedule, final_lat.astype(jnp.float32), noise,
+                    t_arr,
+                ).astype(latent.dtype)
+                for lat in (latent, noised):
+                    _, muts = fn(self.params[model], lat, t_arr, ctx_c, w)
+                    stats = merge(stats, muts["quant_stats"])
+            self.params[model] = {**self.params[model], "quant_stats": stats}
+
+        # VAE: decode a representative latent, encode the result. The
+        # decode and encode stats cover DISJOINT submodules (decoder/
+        # post_quant_conv vs encoder/quant_conv), so union-merge them.
+        def vae_calib(params, z):
+            with quant_scope("calibrate"):
+                img, muts = self.vae.apply(
+                    params, z / self.scaling_factor,
+                    method=AutoencoderKL.decode, mutable=["quant_stats"],
+                )
+                pix = jnp.clip(img.astype(jnp.float32), -1, 1)
+                _, muts2 = self.vae.apply(
+                    params, pix, method=AutoencoderKL.encode_mean,
+                    mutable=["quant_stats"],
+                )
+            return {**dict(muts["quant_stats"]), **dict(muts2["quant_stats"])}
+
+        stats = jax.jit(vae_calib)(
+            self.params["vae"], final_lat.astype(jnp.float32)
+        )
+        self.params["vae"] = {**self.params["vae"], "quant_stats": stats}
+        # new collection in the params pytree -> existing programs retrace
+        self._jit_cache.clear()
 
     def decode(self, latents: jax.Array) -> np.ndarray:
         fn = self._get_jit("decode")

@@ -239,6 +239,52 @@ class TestPipelineInt8:
             bundle.quantize = "off"
         assert out.shape[0] == 2 and np.all(np.isfinite(np.asarray(out)))
 
+    def test_int8_static_calibration_flow(self, bundle):
+        """collect_quant_stats -> int8_static: stats keyed by module
+        path land in the params trees, the static program runs within a
+        bounded envelope of bf16, and the off path stays bit-identical
+        with the extra collection present."""
+        key = jax.random.PRNGKey(3)
+        ref, _ = bundle.generate(["a calico cat"], key=key)
+        bundle.collect_quant_stats(["a calico cat"], key=key)
+        try:
+            for model in ("reverse", "forward", "vae"):
+                stats = bundle.params[model].get("quant_stats")
+                assert stats, f"no quant_stats for {model}"
+                leaves = jax.tree.leaves(stats)
+                assert all(np.asarray(v).shape == () for v in leaves)
+                assert all(np.asarray(v) >= 0 for v in leaves)
+            bundle.quantize = "int8_static"
+            st, _ = bundle.generate(["a calico cat"], key=key)
+            bundle.quantize = "off"
+            assert np.isfinite(np.asarray(st)).all()
+            diff = np.abs(np.asarray(st) - np.asarray(ref))
+            assert 0 < diff.mean() < 0.1  # random weights: worst case
+            # off path is untouched by the merged collection
+            off, _ = bundle.generate(["a calico cat"], key=key)
+            np.testing.assert_array_equal(np.asarray(off), np.asarray(ref))
+        finally:
+            bundle.quantize = "off"
+            for model in ("teacher", "reverse", "forward", "vae"):
+                bundle.params[model] = {
+                    k: v for k, v in bundle.params[model].items()
+                    if k != "quant_stats"
+                }
+            bundle._jit_cache.clear()
+
+    def test_int8_static_without_stats_is_dynamic(self, bundle):
+        """No calibration -> every conv falls back to dynamic scales:
+        bitwise the int8 program."""
+        key = jax.random.PRNGKey(4)
+        bundle.quantize = "int8"
+        try:
+            dyn, _ = bundle.generate(["a dalmatian"], key=key)
+            bundle.quantize = "int8_static"
+            st, _ = bundle.generate(["a dalmatian"], key=key)
+        finally:
+            bundle.quantize = "off"
+        np.testing.assert_array_equal(np.asarray(st), np.asarray(dyn))
+
     def test_rejects_unknown_mode(self):
         from invertible_cd_tpu.testing import tiny_bundle
 
