@@ -34,7 +34,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/icd_tpu_jax_cache")
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--quantize", default="int8", choices=["int8", "int8_vae"])
+    p.add_argument("--quantize", default="int8",
+                   choices=["int8", "int8_vae", "int8_static"])
     p.add_argument("--model", default="sd15", choices=["sd15", "tiny"])
     p.add_argument("--n", type=int, default=16, help="number of prompts")
     p.add_argument("--batch_size", type=int, default=4)
@@ -126,6 +127,8 @@ def main(argv=None):
         return np.concatenate(outs, axis=0)
 
     ref = sweep("off")
+    if args.quantize == "int8_static":
+        pipe.collect_quant_stats(prompts[: args.batch_size])
     qnt = sweep(args.quantize)
 
     # invert->reconstruct the bf16 images under both modes: the editing
