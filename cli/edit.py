@@ -103,8 +103,9 @@ def parse_args(argv=None):
     p.add_argument("--platform", default=None, help="cpu|tpu backend override (cpu needed for smoke tests in tunneled-TPU containers)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quantize", default="off",
-                   choices=["off", "int8", "int8_vae"],
-                   help="opt-in int8 MXU inference (ops/quant.py)")
+                   choices=["off", "int8", "int8_vae", "int8_static"],
+                   help="opt-in int8 MXU inference (ops/quant.py); "
+                        "int8_static auto-runs collect_quant_stats once")
     p.add_argument("--guidance_scale", type=float, default=19.0)
     p.add_argument("--tau", type=float, default=0.8)
     p.add_argument("--cross_replace_steps", type=float, default=0.6)

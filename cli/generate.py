@@ -73,8 +73,9 @@ def parse_args(argv=None):
     p.add_argument("--platform", default=None, help="cpu|tpu backend override (cpu needed for smoke tests in tunneled-TPU containers)")
     p.add_argument("--seed", type=int, default=150)
     p.add_argument("--quantize", default="off",
-                   choices=["off", "int8", "int8_vae"],
-                   help="opt-in int8 MXU inference (ops/quant.py)")
+                   choices=["off", "int8", "int8_vae", "int8_static"],
+                   help="opt-in int8 MXU inference (ops/quant.py); "
+                        "int8_static auto-runs collect_quant_stats once")
     p.add_argument("--guidance_scale", type=float, default=19.0)
     p.add_argument("--dynamic_guidance", action="store_true", default=True)
     p.add_argument("--tau1", type=float, default=0.8)
@@ -142,12 +143,17 @@ def build_pipeline(args):
 
         pipe = tiny_bundle()
         pipe.quantize = args.quantize
+        if args.quantize == "int8_static":
+            pipe.collect_quant_stats()
         return pipe
     if args.model == "sdxl":
         pipe = InvertibleCDXL.sdxl(grid=grid, quantize=args.quantize)
     else:
         pipe = InvertibleCD.sd15(grid=grid, quantize=args.quantize)
     _load_weights(pipe, args)
+    if args.quantize == "int8_static":
+        # calibrate on the REAL weights (after loading), one-time
+        pipe.collect_quant_stats()
     return pipe
 
 

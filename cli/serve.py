@@ -41,7 +41,7 @@ def parse_args(argv=None):
     p.add_argument("--tau1", type=float, default=0.8)
     p.add_argument("--tau2", type=float, default=0.8)
     p.add_argument("--quantize", default="off",
-                   choices=["off", "int8", "int8_vae"])
+                   choices=["off", "int8", "int8_vae", "int8_static"])
     p.add_argument("--platform", default=None)
     p.add_argument("--reverse_timesteps", type=int, nargs="*",
                    default=[259, 519, 779, 999])
