@@ -41,6 +41,9 @@ def classify(name):
     import re
 
     flat = re.sub(r"\{[^}]*\}", "", name)
+    # tuple-returning fusions: `%f = (f32[..], bf16[..]) fusion(...)` —
+    # strip the tuple type's parens so the kind token survives
+    flat = re.sub(r"= \([^)]*\)", "= tuple", flat)
     head = flat.split("(", 1)[0].rstrip()
     kind = head.rsplit(" ", 1)[-1].lower()
     if kind == "custom-call":
@@ -58,7 +61,7 @@ def classify(name):
         # TPU XLA fuses convolutions/dots INTO fusions (kOutput); the op
         # name only betrays this through a conv-kernel-shaped operand
         # (f32[kh,kw,ci,co] with small kh/kw) or an attention-sized one.
-        if re.search(r"f32\[[1-7],[1-7],\d+,\d+\]", name):
+        if re.search(r"(f32|bf16)\[[1-7],[1-7],\d+,\d+\]", name):
             return "fusion(conv)"
         if "reduce" in opname:
             return "fusion(reduce)"
@@ -107,6 +110,8 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--width", type=int, default=70,
                     help="op-name display width (0 = untrimmed)")
+    ap.add_argument("--kind", default=None,
+                    help="only list ops whose classify() bucket matches")
     args = ap.parse_args()
 
     from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
@@ -152,8 +157,14 @@ def main():
         print(f"{ms:9.3f}  {100 * ms / max(total, 1e-9):5.1f}  {kind}")
     print(f"\ntop ops:\n{'ms':>9}  {'%':>5}  op")
     width = args.width or 10**6
-    for name, ms in totals.most_common(args.top):
+    shown = 0
+    for name, ms in totals.most_common():
+        if args.kind and classify(name) != args.kind:
+            continue
         print(f"{ms:9.3f}  {100 * ms / max(total, 1e-9):5.1f}  {trim(name, width)}")
+        shown += 1
+        if shown >= args.top:
+            break
 
 
 if __name__ == "__main__":
