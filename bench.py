@@ -21,6 +21,8 @@ Modes (`python bench.py [--mode MODE]`):
   edit           config 2: p50 invert+edit round trip (forward CD + p2p
                  AttentionReplace editing with dynamic tau guidance).
   sdxl           config 3: 4-step iCD-SDXL 1024x1024 generation.
+  sdxl_edit      config 4: SDXL invert + amplify-prompt edit round trip
+                 (p50 latency at 1024x1024).
   serve          config 1c: 64 independent requests (distinct prompts +
                  seeds) through serving.BatchingExecutor at batch 8.
   train          config 5: SD1.5 dual-student CD training step (the two
@@ -66,6 +68,10 @@ REF_SD15_IMAGES_PER_SEC = 6.0   # A100 fp16 estimate, see module docstring
 # (~1.3x fused, ~480 ms) + VAE decode x2 (~50) -> ~0.7 s on A100 fp16.
 REF_EDIT_SEC = 0.70
 REF_SDXL_IMAGES_PER_SEC = 1.4   # SDXL-base 4-step fp16 A100 estimate (~0.7 s/img)
+# SDXL edit: invert (4 UNet calls batch 1 at ~0.17 s each incl. CFG-free
+# fwd) + generate (4 calls batch 2, ~0.35 s each) + fp32 VAE encode +
+# 2-image decode (~0.35 s) -> ~2.4 s on A100 fp16.
+REF_SDXL_EDIT_SEC = 2.4
 REF_TRAIN_SAMPLES_PER_SEC = 20.0  # batch 512 / ~26 s/step on 8xA100 -> /8 chips
 
 
@@ -260,6 +266,40 @@ def bench_sdxl(quantize="off"):
     }
 
 
+def bench_sdxl_edit():
+    """config 4: SDXL invert+edit round trip (reference
+    `running/sdxl/edit.py:201-234`): forward-CD inversion of a real
+    1024^2 image under the source prompt at guidance 0, then
+    dynamic-guidance sampling of the target prompt with
+    `amplify_prompt=[source]` (tau 0.7). 8 UNet evals at 1024^2 + VAE
+    encode + 2-image decode."""
+    from invertible_cd_tpu.pipelines.sdxl import InvertibleCDXL
+
+    pipe = InvertibleCDXL.sdxl(dtype=jnp.bfloat16)
+    img = np.random.default_rng(0).integers(0, 255, (1024, 1024, 3), np.uint8)
+
+    def edit_once(i):
+        out, _ = pipe.edit(
+            img, "a photo of a corgi on the beach",
+            "a photo of a cat on the beach", key=jax.random.PRNGKey(i),
+        )
+        _fence(out)
+
+    edit_once(0)  # compile invert + amplify-prompt generate
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        edit_once(i)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50))
+    return {
+        "metric": "icd_sdxl_invert_edit_p50_latency",
+        "value": round(p50, 4),
+        "unit": "sec/edit",
+        "vs_baseline": round(REF_SDXL_EDIT_SEC / p50, 3),
+    }
+
+
 def bench_serve():
     """config 1c: end-to-end serving throughput — 64 independent
     requests (distinct prompts AND seeds, i.e. distinct latents, unlike
@@ -382,7 +422,8 @@ def main():
         "--mode", default="gen",
         choices=["gen", "gen_int8", "gen_int8_vae", "latency",
                  "latency_int8", "gen_int8_static", "edit", "edit_sweep",
-                 "sdxl", "sdxl_int8", "serve", "train", "train4"],
+                 "sdxl", "sdxl_int8", "sdxl_edit", "serve", "train",
+                 "train4"],
     )
     args = ap.parse_args()
     result = {
@@ -394,6 +435,7 @@ def main():
         "sdxl_int8": lambda: bench_sdxl(quantize="int8"),
         "serve": bench_serve,
         "edit_sweep": bench_edit_sweep, "sdxl": bench_sdxl,
+        "sdxl_edit": bench_sdxl_edit,
         "train": bench_train,
         "train4": lambda: bench_train(full_losses=True),
     }[args.mode]()

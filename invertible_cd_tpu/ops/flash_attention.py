@@ -609,8 +609,12 @@ def flash_attention_bhsd(
         # bigger tiles amortise the per-tile DMA + state update; q-tile
         # count drops, cutting repeated K/V streaming traffic (measured
         # 3.4 ms vs XLA's 8.7 on the SD1.5 batch-16 VAE decode shape).
-        block_q = block_q or 512
-        block_k = block_k or 1024
+        # fp32 inputs (SDXL's fp32 VAE at 16k tokens) double every VMEM
+        # tile, and 512/1024 blocks overflow the 16 MB scoped-vmem stack
+        # once d=512 — halve the blocks past bf16 to stay under it.
+        wide = q.dtype.itemsize > 2
+        block_q = block_q or (256 if wide else 512)
+        block_k = block_k or (512 if wide else 1024)
     else:
         block_q = block_q or 256
         block_k = block_k or 512

@@ -101,6 +101,26 @@ def test_streamed_auto_routing():
     assert fa is not None
 
 
+def test_streamed_fp32_auto_blocks():
+    """Regression: SDXL's fp32 VAE encode (16k tokens, d=512) overflowed
+    the 16 MB scoped-vmem stack with the bf16-tuned 512/1024 streamed
+    blocks. fp32 inputs must auto-pick the halved 256/512 blocks — and
+    still match XLA attention."""
+    from invertible_cd_tpu.ops.flash_attention import flash_attention_bhsd
+
+    rng = np.random.default_rng(8)
+    g, sq, sk, d = 1, 512, 1024, 512
+    q = jnp.asarray(rng.normal(size=(g, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(g, sk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(g, sk, d)), jnp.float32)
+    # no explicit blocks: exercises the dtype-aware default choice
+    out = flash_attention_bhsd(q, k, v, interpret=True, streamed=True)
+    ref = jax.nn.dot_product_attention(
+        q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+    )[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
 def test_streamed_grad_matches_xla():
     """The streamed path's backward is a chunked XLA recompute from the
     saved logsumexp — check it against autodiff through plain attention,
