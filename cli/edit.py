@@ -36,6 +36,7 @@ if "--platform" in sys.argv:
     jax.config.update("jax_platforms", _plat)
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 STOPWORDS = {
@@ -106,8 +107,25 @@ def parse_args(argv=None):
                    choices=["off", "int8", "int8_vae", "int8_static"],
                    help="opt-in int8 MXU inference (ops/quant.py); "
                         "int8_static auto-runs collect_quant_stats once")
-    p.add_argument("--guidance_scale", type=float, default=19.0)
+    p.add_argument("--guidance_scale", type=float, default=None,
+                   help="default 19.0 (cons editing) / 8.0 (DDIM baselines)")
     p.add_argument("--tau", type=float, default=0.8)
+    p.add_argument("--baseline", default="none",
+                   choices=["none", "ddim", "npi", "nti"],
+                   help="50-step DDIM-inversion editing baselines instead of "
+                        "the consistency models (reference launch_editing_"
+                        "NTI/NPI scripts): plain DDIM, Negative-Prompt "
+                        "Inversion, or Null-Text Inversion")
+    p.add_argument("--nti_guidance_scale", type=float, default=8.0,
+                   help="CFG scale inside the NTI optimisation (reference "
+                        "--nti_guidance_scale)")
+    p.add_argument("--nti_inner_steps", type=int, default=10)
+    p.add_argument("--uncond_cache", default=None,
+                   help="pickle file caching NTI per-step uncond embeddings "
+                        "by source prompt (reference "
+                        "--path_to_uncond_embeddings)")
+    p.add_argument("--num_ddim_steps", type=int, default=50,
+                   help="DDIM grid size (reference --num_ddim_steps)")
     p.add_argument("--cross_replace_steps", type=float, default=0.6)
     p.add_argument("--self_replace_steps", type=float, default=0.4)
     p.add_argument("--no_blend", action="store_true")
@@ -146,12 +164,11 @@ def edit_one_sdxl(pipe, args, image, source, target):
     return u8[0], u8[1]
 
 
-def edit_one(pipe, args, image, source, target, blend_pair):
+def _build_edit_controller(pipe, args, source, target, blend_pair, num_steps):
+    """Controller derivation shared by the cons and DDIM-baseline paths
+    (reference `edit.py:405-427`): replace vs refine by word counts, blend
+    words from the prompt diff, optional reweight chain."""
     from invertible_cd_tpu.edit import make_controller
-    from invertible_cd_tpu.pipelines.pipeline import to_uint8
-
-    if args.model == "sdxl":
-        return edit_one_sdxl(pipe, args, image, source, target)
 
     sw, tw = find_difference(source, target)
     is_replace = len(source.split()) == len(target.split())
@@ -164,13 +181,86 @@ def edit_one(pipe, args, image, source, target, blend_pair):
     eq = None
     if args.amplify and tw:
         eq = {"words": tw, "values": (args.amplify,) * len(tw)}
-    ctrl = make_controller(
-        [source, target], pipe.tokenizer,
-        num_steps=pipe.grid.num_reverse_steps,
+    return make_controller(
+        [source, target], pipe.tokenizer, num_steps=num_steps,
         is_replace_controller=is_replace,
         cross_replace_steps=args.cross_replace_steps,
         self_replace_steps=args.self_replace_steps,
         blend_words=blend_words, equalizer_params=eq,
+    )
+
+
+def _cached_nti(pipe, args, image, source):
+    """NTI per-step uncond embeddings with the reference's prompt-keyed
+    cache file (`running/sd1.5/edit.py:348-351,363-367,392-397`)."""
+    import pickle
+
+    from invertible_cd_tpu.pipelines import nti as nti_mod
+
+    cache = {}
+    if args.uncond_cache and os.path.exists(args.uncond_cache):
+        with open(args.uncond_cache, "rb") as f:
+            cache = pickle.load(f)
+    if source in cache:
+        return jax.numpy.asarray(cache[source])
+    per_step, _ = nti_mod.null_text_inversion(
+        pipe, image, source, num_inner_steps=args.nti_inner_steps,
+        guidance_scale=args.nti_guidance_scale,
+    )
+    if args.uncond_cache:
+        cache[source] = np.asarray(per_step)
+        with open(args.uncond_cache, "wb") as f:
+            pickle.dump(cache, f)
+    return per_step
+
+
+def edit_one_baseline(pipe, args, image, source, target, blend_pair):
+    """DDIM-inversion editing baselines (reference NTI/NPI launch scripts;
+    `edit.py:363-397`): 50-step DDIM inversion of the image under the
+    source prompt with the TEACHER model, per-step uncond embeddings from
+    NTI (optimised) or NPI (:= cond embeddings) or left as the real uncond
+    (plain DDIM), then the 50-step CFG DDIM loop over the [source, target]
+    pair with the p2p controller."""
+    import invertible_cd_tpu.pipelines.sampler as S
+    from invertible_cd_tpu.pipelines import nti as nti_mod
+    from invertible_cd_tpu.pipelines.pipeline import to_uint8
+
+    n = pipe.grid.n_steps
+    traj, _ = pipe.ddim_invert(image, source)
+    inv_latent = traj[-1]
+    nti_uncond = None
+    if args.baseline == "nti":
+        nti_uncond = _cached_nti(pipe, args, image, source)
+    elif args.baseline == "npi":
+        nti_uncond = nti_mod.negative_prompt_inversion(pipe, source)
+    if nti_uncond is not None:
+        # optimised at batch 1; the edit pair shares it across both rows
+        # (reference expands per-step uncond over the batch,
+        # `generation.py:246-249`)
+        nti_uncond = jnp.broadcast_to(
+            nti_uncond, (n, 2) + nti_uncond.shape[2:]
+        )
+    ctrl = _build_edit_controller(pipe, args, source, target, blend_pair, n)
+    g = S.GuidanceConfig(guidance_scale=args.guidance_scale, w_embed_dim=0)
+    latent = jnp.broadcast_to(inv_latent[:1], (2,) + inv_latent.shape[1:])
+    imgs, _ = pipe.ddim_generate(
+        [source, target], latent=latent, guidance=g, controller=ctrl,
+        nti_uncond=nti_uncond, model="teacher",
+    )
+    u8 = to_uint8(imgs)
+    return u8[0], u8[1]
+
+
+def edit_one(pipe, args, image, source, target, blend_pair):
+    from invertible_cd_tpu.pipelines.pipeline import to_uint8
+
+    if args.model == "sdxl":
+        return edit_one_sdxl(pipe, args, image, source, target)
+    if args.baseline != "none":
+        return edit_one_baseline(pipe, args, image, source, target, blend_pair)
+
+    ctrl = _build_edit_controller(
+        pipe, args, source, target, blend_pair, pipe.grid.num_reverse_steps
     )
     g = pipe.default_guidance(
         guidance_scale=args.guidance_scale, dynamic_guidance=True,
@@ -186,6 +276,10 @@ def edit_one(pipe, args, image, source, target, blend_pair):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.guidance_scale is None:
+        # reference defaults: 19 for cons editing (launch_editing_iCD),
+        # 8.0 for the DDIM/NTI/NPI baselines (launch_editing_NTI/NPI)
+        args.guidance_scale = 8.0 if args.baseline != "none" else 19.0
     from PIL import Image
 
     from invertible_cd_tpu.data import load_benchmark

@@ -84,6 +84,8 @@ def parse_args(argv=None):
     p.add_argument("--forward_timesteps", type=int, nargs="*", default=[19, 259, 519, 779])
     p.add_argument("--ddim_baseline", action="store_true",
                    help="50-step DDIM with the teacher instead of reverse CD")
+    p.add_argument("--num_ddim_steps", type=int, default=50,
+                   help="DDIM grid size (reference --num_ddim_steps)")
     p.add_argument("--reverse_lora", default=None, help="kohya safetensors")
     p.add_argument("--forward_lora", default=None)
     p.add_argument("--teacher_checkpoint", default=None)
@@ -135,13 +137,17 @@ def build_pipeline(args):
     from invertible_cd_tpu.pipelines.sdxl import InvertibleCDXL
 
     grid = make_solver_grid(
+        n_steps=getattr(args, "num_ddim_steps", 50),
         reverse_timesteps=args.reverse_timesteps or None,
         forward_timesteps=args.forward_timesteps or None,
     )
     if args.model == "tiny":
+        import dataclasses
+
         from invertible_cd_tpu.testing import tiny_bundle
 
         pipe = tiny_bundle()
+        pipe = dataclasses.replace(pipe, grid=grid)
         pipe.quantize = args.quantize
         if args.quantize == "int8_static":
             pipe.collect_quant_stats()

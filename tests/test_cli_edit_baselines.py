@@ -1,0 +1,81 @@
+"""cli/edit.py DDIM-inversion baselines (reference NTI/NPI launch scripts).
+
+The reference ships three editing entry configurations
+(`running/sd1.5/launch_editing_{iCD,NTI,NPI}_sd1.5.sh`): consistency
+editing, Null-Text-Inversion editing and Negative-Prompt-Inversion
+editing — the latter two run 50-step DDIM inversion + CFG DDIM sampling
+with the p2p controller on the TEACHER model
+(`running/sd1.5/edit.py:363-397`). These tests drive all three modes
+end-to-end through the CLI on the tiny bundle (6-step grid via the
+reference's --num_ddim_steps flag, so CPU stays fast).
+"""
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture()
+def input_image(tmp_path):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    path = tmp_path / "in.png"
+    Image.fromarray(img).save(path)
+    return str(path)
+
+
+def run_edit(tmp_path, input_image, *extra):
+    from cli.edit import main
+
+    out = str(tmp_path / "out")
+    main([
+        "--model", "tiny", "--image", input_image,
+        "--source", "a cat on the beach", "--target", "a dog on the beach",
+        "--out", out, "--num_ddim_steps", "6", *extra,
+    ])
+    with open(os.path.join(out, "results.json")) as f:
+        res = json.load(f)
+    assert len(res["results"]) == 1
+    edited = np.asarray(Image.open(res["results"][0]["file"]))
+    assert edited.shape == (32, 32, 3)
+    return edited
+
+
+def test_baseline_ddim(tmp_path, input_image):
+    run_edit(tmp_path, input_image, "--baseline", "ddim")
+
+
+def test_baseline_npi(tmp_path, input_image):
+    run_edit(tmp_path, input_image, "--baseline", "npi")
+
+
+def test_baseline_nti_with_cache(tmp_path, input_image):
+    cache = str(tmp_path / "uncond.pkl")
+    edited = run_edit(
+        tmp_path, input_image, "--baseline", "nti",
+        "--nti_inner_steps", "2", "--uncond_cache", cache,
+    )
+    # cache round trip: keyed by source prompt, (n_steps, 1, 77, D)
+    with open(cache, "rb") as f:
+        stored = pickle.load(f)
+    (prompt, arr), = stored.items()
+    assert prompt == "a cat on the beach"
+    assert arr.shape[0] == 6 and arr.shape[2] == 77
+    # second run must reuse the cache (and reproduce the image bit-exactly,
+    # since the cached embeddings fully determine the trajectory)
+    edited2 = run_edit(
+        tmp_path, input_image, "--baseline", "nti",
+        "--nti_inner_steps", "2", "--uncond_cache", cache,
+    )
+    np.testing.assert_array_equal(edited, edited2)
+
+
+def test_baseline_differs_from_cons(tmp_path, input_image):
+    """The baseline path must actually take the DDIM branch: teacher-model
+    50(->6)-step editing produces a different image than 4-step cons."""
+    a = run_edit(tmp_path, input_image, "--baseline", "ddim")
+    b = run_edit(tmp_path, input_image)
+    assert not np.array_equal(a, b)
