@@ -131,8 +131,18 @@ def parse_args(argv=None):
     p.add_argument("--no_blend", action="store_true")
     p.add_argument("--amplify", type=float, default=None,
                    help="equalizer value for changed words (reweight chain)")
-    p.add_argument("--reverse_timesteps", type=int, nargs="*", default=[259, 519, 779, 999])
-    p.add_argument("--forward_timesteps", type=int, nargs="*", default=[19, 259, 519, 779])
+    p.add_argument("--is_replacement", action="store_true",
+                   help="strict single-word-replacement mode (reference "
+                        "--is_replacement): skip benchmark rows that are "
+                        "not one-word same-length replacements, force the "
+                        "replace controller with blend/equalizer on the "
+                        "swapped pair (amplify defaults to 3)")
+    p.add_argument("--reverse_timesteps", type=int, nargs="*", default=None,
+                   help="default: 259 519 779 999 (SD1.5) / "
+                        "249 499 699 999 (SDXL, reference running/sdxl)")
+    p.add_argument("--forward_timesteps", type=int, nargs="*", default=None,
+                   help="default: 19 259 519 779 (SD1.5) / "
+                        "19 249 499 699 (SDXL)")
     p.add_argument("--reverse_lora", default=None)
     p.add_argument("--forward_lora", default=None)
     p.add_argument("--teacher_checkpoint", default=None)
@@ -169,6 +179,24 @@ def _build_edit_controller(pipe, args, source, target, blend_pair, num_steps):
     (reference `edit.py:405-427`): replace vs refine by word counts, blend
     words from the prompt diff, optional reweight chain."""
     from invertible_cd_tpu.edit import make_controller
+
+    if args.is_replacement:
+        # reference `edit.py:410-415`: force the replace controller, blend
+        # and amplify exactly the swapped word pair (rows were pre-filtered
+        # to one-word same-length replacements in main())
+        w1, w2 = next(
+            (a, b) for a, b in zip(source.split(), target.split()) if a != b
+        )
+        is_replace = True
+        blend_words = None if args.no_blend else [[w1], [w2]]
+        eq = {"words": (w2,), "values": (args.amplify or 3.0,)}
+        return make_controller(
+            [source, target], pipe.tokenizer, num_steps=num_steps,
+            is_replace_controller=is_replace,
+            cross_replace_steps=args.cross_replace_steps,
+            self_replace_steps=args.self_replace_steps,
+            blend_words=blend_words, equalizer_params=eq,
+        )
 
     sw, tw = find_difference(source, target)
     is_replace = len(source.split()) == len(target.split())
@@ -300,6 +328,18 @@ def main(argv=None):
     else:
         assert args.image and args.source and args.target
         rows.append((args.image, args.source, args.target, ()))
+    if args.is_replacement:
+        # reference `edit.py:355-359`: strict mode keeps only one-word
+        # same-length replacements
+        def _is_one_word_swap(src, tgt):
+            s, t = src.split(), tgt.split()
+            return len(s) == len(t) and sum(a != b for a, b in zip(s, t)) == 1
+
+        kept = [r for r in rows if _is_one_word_swap(r[1], r[2])]
+        if len(kept) != len(rows):
+            print(f"--is_replacement: kept {len(kept)}/{len(rows)} "
+                  "one-word-replacement rows")
+        rows = kept
     rows = rows[jax.process_index()::jax.process_count()]
 
     evals = None

@@ -77,11 +77,18 @@ def parse_args(argv=None):
                    help="opt-in int8 MXU inference (ops/quant.py); "
                         "int8_static auto-runs collect_quant_stats once")
     p.add_argument("--guidance_scale", type=float, default=19.0)
-    p.add_argument("--dynamic_guidance", action="store_true", default=True)
+    p.add_argument("--dynamic_guidance", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-dynamic_guidance gives static CFG (reference "
+                        "use_dynamic_guidance False, e.g. SDXL generation)")
     p.add_argument("--tau1", type=float, default=0.8)
     p.add_argument("--tau2", type=float, default=0.8)
-    p.add_argument("--reverse_timesteps", type=int, nargs="*", default=[259, 519, 779, 999])
-    p.add_argument("--forward_timesteps", type=int, nargs="*", default=[19, 259, 519, 779])
+    p.add_argument("--reverse_timesteps", type=int, nargs="*", default=None,
+                   help="default: 259 519 779 999 (SD1.5) / "
+                        "249 499 699 999 (SDXL, reference running/sdxl)")
+    p.add_argument("--forward_timesteps", type=int, nargs="*", default=None,
+                   help="default: 19 259 519 779 (SD1.5) / "
+                        "19 249 499 699 (SDXL)")
     p.add_argument("--ddim_baseline", action="store_true",
                    help="50-step DDIM with the teacher instead of reverse CD")
     p.add_argument("--num_ddim_steps", type=int, default=50,
@@ -136,10 +143,17 @@ def build_pipeline(args):
     from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
     from invertible_cd_tpu.pipelines.sdxl import InvertibleCDXL
 
+    if args.model == "sdxl":
+        # iCD-SDXL checkpoint grid (reference running/sdxl/README.md:4)
+        rev_default = [249, 499, 699, 999]
+        fwd_default = [19, 249, 499, 699]
+    else:
+        rev_default = [259, 519, 779, 999]
+        fwd_default = [19, 259, 519, 779]
     grid = make_solver_grid(
         n_steps=getattr(args, "num_ddim_steps", 50),
-        reverse_timesteps=args.reverse_timesteps or None,
-        forward_timesteps=args.forward_timesteps or None,
+        reverse_timesteps=args.reverse_timesteps or rev_default,
+        forward_timesteps=args.forward_timesteps or fwd_default,
     )
     if args.model == "tiny":
         import dataclasses

@@ -100,8 +100,10 @@ class InvertibleCDXL(InvertibleCD):
             tokenizer=tok,
             schedule=make_schedule(),
             grid=grid or make_solver_grid(
-                reverse_timesteps=[259, 519, 779, 999],
-                forward_timesteps=[19, 259, 519, 779],
+                # iCD-SDXL checkpoints train on these endpoints (reference
+                # running/sdxl/README.md:4) — NOT the SD1.5 259/519/779 grid
+                reverse_timesteps=[249, 499, 699, 999],
+                forward_timesteps=[19, 249, 499, 699],
             ),
             scaling_factor=vae_cfg.scaling_factor,
             latent_size=latent_size,

@@ -73,6 +73,45 @@ def test_baseline_nti_with_cache(tmp_path, input_image):
     np.testing.assert_array_equal(edited, edited2)
 
 
+def test_is_replacement_strict_mode(tmp_path, input_image):
+    """--is_replacement (reference edit.py:355-359,410-415): benchmark rows
+    that are not one-word same-length swaps are skipped; kept rows run the
+    forced replace controller with blend/equalizer on the swapped pair."""
+    import shutil
+
+    from cli.edit import main
+
+    img_root = tmp_path / "imgs"
+    img_root.mkdir()
+    shutil.copy(input_image, img_root / "a.png")
+    shutil.copy(input_image, img_root / "b.png")
+    shutil.copy(input_image, img_root / "c.png")
+    csv = tmp_path / "edit.csv"
+    csv.write_text(
+        ",file_name,old_caption,edited_caption,blended_words\n"
+        "0,a.png,a cat on grass,a dog on grass,\"('cat', 'dog')\"\n"
+        "1,b.png,a cake,a big square cake, \n"   # length mismatch -> skip
+        "2,c.png,red car blue sky,red bus blue sea, \n"  # 2 diffs -> skip
+    )
+    out = str(tmp_path / "out")
+    main([
+        "--model", "tiny", "--benchmark", str(csv),
+        "--image_root", str(img_root), "--out", out, "--is_replacement",
+    ])
+    with open(os.path.join(out, "results.json")) as f:
+        res = json.load(f)
+    assert len(res["results"]) == 1
+    assert res["results"][0]["source"] == "a cat on grass"
+
+
+def test_is_replacement_changes_controller(tmp_path, input_image):
+    """Forcing the replace controller + equalizer must alter the edit
+    relative to the default heuristic path (amplify off by default there)."""
+    a = run_edit(tmp_path, input_image, "--is_replacement")
+    b = run_edit(tmp_path, input_image)
+    assert not np.array_equal(a, b)
+
+
 def test_baseline_differs_from_cons(tmp_path, input_image):
     """The baseline path must actually take the DDIM branch: teacher-model
     50(->6)-step editing produces a different image than 4-step cons."""
