@@ -59,9 +59,20 @@ def _ambient_tp() -> int:
     """Size of the ambient mesh's "tp" axis at trace time (1 when tracing
     outside any `with mesh:` context)."""
     try:
-        from jax.interpreters import pxla
+        # jax.interpreters.pxla.thread_resources is deprecated since
+        # JAX 0.8.2; the home module keeps the live object
+        from jax._src import mesh as mesh_lib
 
-        mesh = pxla.thread_resources.env.physical_mesh
+        tr = mesh_lib.thread_resources
+    except Exception:
+        try:
+            from jax.interpreters import pxla
+
+            tr = pxla.thread_resources
+        except Exception:
+            return 1
+    try:
+        mesh = tr.env.physical_mesh
         if not mesh.empty:
             return int(mesh.shape.get("tp", 1))
     except Exception:
