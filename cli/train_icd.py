@@ -86,8 +86,12 @@ def parse_args(argv=None):
     p.add_argument("--loss_type", default="huber", choices=["huber", "l2"])
     p.add_argument("--huber_c", type=float, default=0.001)
     p.add_argument("--num_ddim_timesteps", type=int, default=50)
-    p.add_argument("--endpoints", default="0,259,519,779")
-    p.add_argument("--forward_endpoints", default="259,519,779,999")
+    p.add_argument("--endpoints", default=None,
+                   help="default 0,259,519,779 (SD1.5) / 0,249,499,699 "
+                        "(SDXL, reference run_sdxl_lora.sh)")
+    p.add_argument("--forward_endpoints", default=None,
+                   help="default 259,519,779,999 (SD1.5) / 249,499,699,999 "
+                        "(SDXL)")
     p.add_argument("--forward_preserve_coef", type=float, default=1.5)
     p.add_argument("--reverse_preserve_coef", type=float, default=1.5)
     p.add_argument("--no_forward_preserve", action="store_true")
@@ -548,6 +552,15 @@ def run_fid_eval(args, state, pipe):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.endpoints is None:
+        # reference grids: run_sd15_lora.sh vs run_sdxl_lora.sh
+        args.endpoints = (
+            "0,249,499,699" if args.model == "sdxl" else "0,259,519,779"
+        )
+    if args.forward_endpoints is None:
+        args.forward_endpoints = (
+            "249,499,699,999" if args.model == "sdxl" else "259,519,779,999"
+        )
     from invertible_cd_tpu.diffusion.schedule import make_schedule
     from invertible_cd_tpu.diffusion.solver import make_train_solver
     from invertible_cd_tpu.parallel import make_mesh, shard_batch, shard_params
