@@ -189,7 +189,8 @@ def _build_edit_controller(pipe, args, source, target, blend_pair, num_steps):
         )
         is_replace = True
         blend_words = None if args.no_blend else [[w1], [w2]]
-        eq = {"words": (w2,), "values": (args.amplify or 3.0,)}
+        amp = 3.0 if args.amplify is None else args.amplify
+        eq = {"words": (w2,), "values": (amp,)}
         return make_controller(
             [source, target], pipe.tokenizer, num_steps=num_steps,
             is_replace_controller=is_replace,
@@ -218,27 +219,42 @@ def _build_edit_controller(pipe, args, source, target, blend_pair, num_steps):
     )
 
 
-def _cached_nti(pipe, args, image, source):
+def _cached_nti(pipe, args, image, source, trajectory=None):
     """NTI per-step uncond embeddings with the reference's prompt-keyed
-    cache file (`running/sd1.5/edit.py:348-351,363-367,392-397`)."""
+    cache file (`running/sd1.5/edit.py:348-351,363-367,392-397`). The
+    key is the source prompt alone, as in the reference (PieBench prompts
+    map 1:1 to images); entries whose step count doesn't match the current
+    --num_ddim_steps grid are recomputed rather than crashing the sweep.
+    Writes re-merge the file and replace it atomically so concurrent
+    multi-host sweeps sharing one cache path can't corrupt it."""
     import pickle
+    import tempfile
 
     from invertible_cd_tpu.pipelines import nti as nti_mod
 
-    cache = {}
-    if args.uncond_cache and os.path.exists(args.uncond_cache):
-        with open(args.uncond_cache, "rb") as f:
-            cache = pickle.load(f)
-    if source in cache:
-        return jax.numpy.asarray(cache[source])
+    def _load():
+        if args.uncond_cache and os.path.exists(args.uncond_cache):
+            with open(args.uncond_cache, "rb") as f:
+                return pickle.load(f)
+        return {}
+
+    cache = _load()
+    hit = cache.get(source)
+    if hit is not None and hit.shape[0] == pipe.grid.n_steps:
+        return jax.numpy.asarray(hit)
     per_step, _ = nti_mod.null_text_inversion(
         pipe, image, source, num_inner_steps=args.nti_inner_steps,
-        guidance_scale=args.nti_guidance_scale,
+        guidance_scale=args.nti_guidance_scale, trajectory=trajectory,
     )
     if args.uncond_cache:
+        cache = _load()  # merge entries written since we read
         cache[source] = np.asarray(per_step)
-        with open(args.uncond_cache, "wb") as f:
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(os.path.abspath(args.uncond_cache)) or "."
+        )
+        with os.fdopen(fd, "wb") as f:
             pickle.dump(cache, f)
+        os.replace(tmp, args.uncond_cache)
     return per_step
 
 
@@ -258,7 +274,7 @@ def edit_one_baseline(pipe, args, image, source, target, blend_pair):
     inv_latent = traj[-1]
     nti_uncond = None
     if args.baseline == "nti":
-        nti_uncond = _cached_nti(pipe, args, image, source)
+        nti_uncond = _cached_nti(pipe, args, image, source, trajectory=traj)
     elif args.baseline == "npi":
         nti_uncond = nti_mod.negative_prompt_inversion(pipe, source)
     if nti_uncond is not None:
@@ -304,6 +320,12 @@ def edit_one(pipe, args, image, source, target, blend_pair):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.baseline != "none" and args.model == "sdxl":
+        # the reference ships DDIM/NTI/NPI baselines for SD1.5 only
+        # (running/sd1.5/launch_editing_NTI/NPI); the SDXL editing
+        # protocol is amplify_prompt without a p2p controller
+        sys.exit("--baseline is SD1.5-only (the reference has no SDXL "
+                 "NTI/NPI baselines); drop --baseline or use --model sd15")
     if args.guidance_scale is None:
         # reference defaults: 19 for cons editing (launch_editing_iCD),
         # 8.0 for the DDIM/NTI/NPI baselines (launch_editing_NTI/NPI)

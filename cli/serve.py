@@ -43,10 +43,11 @@ def parse_args(argv=None):
     p.add_argument("--quantize", default="off",
                    choices=["off", "int8", "int8_vae", "int8_static"])
     p.add_argument("--platform", default=None)
-    p.add_argument("--reverse_timesteps", type=int, nargs="*",
-                   default=[259, 519, 779, 999])
-    p.add_argument("--forward_timesteps", type=int, nargs="*",
-                   default=[19, 259, 519, 779])
+    p.add_argument("--reverse_timesteps", type=int, nargs="*", default=None,
+                   help="default: 259 519 779 999 (SD1.5) / "
+                        "249 499 699 999 (SDXL) — resolved in "
+                        "cli.generate.build_pipeline")
+    p.add_argument("--forward_timesteps", type=int, nargs="*", default=None)
     p.add_argument("--teacher_checkpoint", default=None)
     p.add_argument("--reverse_lora", default=None)
     p.add_argument("--forward_lora", default=None)

@@ -80,16 +80,23 @@ def null_text_inversion(
     num_inner_steps: int = 10,
     epsilon: float = 1e-5,
     guidance_scale: float = 7.5,
+    trajectory: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Invert `image` with 50-step DDIM, then optimise per-step uncond
     embeddings (reference `invert` + `null_optimization`,
     `utils/inversion.py:51-100,11-48`).
 
+    Pass `trajectory` (the `(n+1, B, h, w, 4)` ascending-t output of
+    `pipe.ddim_invert`) to skip the internal inversion — callers that
+    already inverted (cli/edit.py baselines) save ~n teacher UNet calls.
+
     Returns (per_step_uncond (n_steps, B, 77, D), inverted latent) — feed
     both to `pipe.ddim_generate(..., nti_uncond=...)` for reconstruction
     or NTI-based editing.
     """
-    traj, _ = pipe.ddim_invert(image, prompt)  # (n+1, B, h, w, 4), ascending t
+    if trajectory is None:
+        trajectory, _ = pipe.ddim_invert(image, prompt)
+    traj = trajectory  # (n+1, B, h, w, 4), ascending t
     ctx_u, ctx_c = pipe.encode_prompt([prompt])
     step_fn = _build_nti_step(pipe, num_inner_steps, guidance_scale)
     params = pipe.params["teacher"]

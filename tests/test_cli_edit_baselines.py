@@ -112,6 +112,66 @@ def test_is_replacement_changes_controller(tmp_path, input_image):
     assert not np.array_equal(a, b)
 
 
+def test_baseline_rejects_sdxl(tmp_path, input_image):
+    """--baseline is SD1.5-only; SDXL must fail fast, not silently run the
+    cons protocol at the baseline guidance default."""
+    from cli.edit import main
+
+    with pytest.raises(SystemExit, match="SD1.5-only"):
+        main([
+            "--model", "sdxl", "--image", input_image,
+            "--source", "a cat", "--target", "a dog",
+            "--out", str(tmp_path / "out"), "--baseline", "nti",
+        ])
+
+
+def test_nti_cache_stale_grid_recomputed(tmp_path, input_image):
+    """A cache entry recorded on a different --num_ddim_steps grid is
+    recomputed (and overwritten), not broadcast into a shape error."""
+    cache = str(tmp_path / "uncond.pkl")
+    run_edit(tmp_path, input_image, "--baseline", "nti",
+             "--nti_inner_steps", "1", "--uncond_cache", cache)
+    with open(cache, "rb") as f:
+        assert next(iter(pickle.load(f).values())).shape[0] == 6
+    # re-run on a 4-step grid against the 6-step cache
+    from cli.edit import main
+
+    out2 = str(tmp_path / "out4")
+    main([
+        "--model", "tiny", "--image", input_image,
+        "--source", "a cat on the beach", "--target", "a dog on the beach",
+        "--out", out2, "--num_ddim_steps", "4", "--baseline", "nti",
+        "--nti_inner_steps", "1", "--uncond_cache", cache,
+    ])
+    with open(cache, "rb") as f:
+        assert next(iter(pickle.load(f).values())).shape[0] == 4
+
+
+def test_is_replacement_amplify_zero_respected():
+    """--amplify 0 must disable amplification (equalizer value 0), not
+    fall back to the 3.0 default through a falsy-zero check."""
+    import argparse
+
+    from cli.edit import _build_edit_controller
+    from invertible_cd_tpu.testing import tiny_bundle
+
+    pipe = tiny_bundle()
+    ns = argparse.Namespace(
+        is_replacement=True, no_blend=False, amplify=0.0,
+        cross_replace_steps=0.6, self_replace_steps=0.4,
+    )
+    spec, arrays = _build_edit_controller(
+        pipe, ns, "a cat here", "a dog here", (), 4
+    )
+    eq = np.asarray(arrays.equalizer)
+    assert eq.min() == 0.0  # the swapped word's column is zeroed
+    ns.amplify = None
+    spec, arrays = _build_edit_controller(
+        pipe, ns, "a cat here", "a dog here", (), 4
+    )
+    assert np.asarray(arrays.equalizer).max() == 3.0
+
+
 def test_baseline_differs_from_cons(tmp_path, input_image):
     """The baseline path must actually take the DDIM branch: teacher-model
     50(->6)-step editing produces a different image than 4-step cons."""
