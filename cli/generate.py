@@ -91,6 +91,19 @@ def parse_args(argv=None):
                         "19 249 499 699 (SDXL)")
     p.add_argument("--ddim_baseline", action="store_true",
                    help="50-step DDIM with the teacher instead of reverse CD")
+    p.add_argument("--image_root", default=None,
+                   help="real images for the generation CSV -> invert/"
+                        "reconstruct mode (reference generate.py "
+                        "path_to_images): saves real_images/ + "
+                        "generated_images/ reconstruction pairs")
+    p.add_argument("--cons_inversion", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="forward-CD inversion; --no-cons_inversion = "
+                        "50-step DDIM inversion (reference "
+                        "use_cons_inversion)")
+    p.add_argument("--inv_guidance_scale", type=float, default=0.0,
+                   help="CFG scale during inversion (reference "
+                        "--inv_guidance_scale)")
     p.add_argument("--num_ddim_steps", type=int, default=50,
                    help="DDIM grid size (reference --num_ddim_steps)")
     p.add_argument("--reverse_lora", default=None, help="kohya safetensors")
@@ -120,6 +133,12 @@ def add_scorer_args(p):
     p.add_argument("--lpips_heads_weights", default=None, help="LPIPS lin heads")
     p.add_argument("--image_reward_weights", default=None, help="ImageReward.pt")
     p.add_argument("--bert_vocab", default=None, help="BERT vocab.txt (ImageReward)")
+    p.add_argument("--fid_stats", default=None,
+                   help="reference-set FID stats npz with mu/sigma (the "
+                        "reference's --path_to_fid_reference, e.g. "
+                        "fid_stats_mscoco512_val.npz converted to npz)")
+    p.add_argument("--inception_weights", default=None,
+                   help="pt_inception-2015-12-05 state dict (FID variant)")
 
 
 def build_evaluators(args):
@@ -199,6 +218,98 @@ def _load_weights(pipe, args):
         )
 
 
+def reconstruct_images(pipe, args, g):
+    """Invert/reconstruct mode (reference `generate.py:304-340,428-438`
+    path_to_images branch): invert each real benchmark image under its
+    caption — forward-CD at --inv_guidance_scale, or 50-step DDIM with
+    --no-cons_inversion — regenerate from the inverted latent with the
+    generation settings, and save real_images/ + generated_images/ pairs.
+    With --calc_metrics, reports the inversion bundle (DINO/PSNR/LPIPS,
+    reference `metrics.py:392-435`) and recon-FID when --fid_stats is
+    given."""
+    import invertible_cd_tpu.pipelines.sampler as S
+    from invertible_cd_tpu.data import load_benchmark
+    from invertible_cd_tpu.pipelines.pipeline import to_uint8
+    from PIL import Image
+
+    rows = load_benchmark(args.benchmark, kind="generation",
+                          max_count=args.max_cnt, with_files=True)
+    rows = rows[jax.process_index()::jax.process_count()]
+    pix = pipe.latent_size[0] * (
+        2 ** (len(pipe.vae.cfg.block_out_channels) - 1)
+    )
+    real_dir = os.path.join(args.out, "real_images")
+    rec_dir = os.path.join(args.out, "generated_images")
+    os.makedirs(real_dir, exist_ok=True)
+    os.makedirs(rec_dir, exist_ok=True)
+
+    evals = build_evaluators(args) if args.calc_metrics else None
+    fid_scorer = None
+    if args.calc_metrics and args.fid_stats and args.inception_weights:
+        from invertible_cd_tpu.metrics import FIDScorer
+        from invertible_cd_tpu.models.convert import (
+            convert_inception_weights, load_torch_file,
+        )
+
+        fid_scorer = FIDScorer(
+            convert_inception_weights(load_torch_file(args.inception_weights))
+        )
+
+    bundles, fid_images, n_done = [], [], 0
+    for i in range(0, len(rows), args.batch_size):
+        batch = rows[i : i + args.batch_size]
+        names = [r[0] for r in batch]
+        caps = [r[1] for r in batch]
+        reals = np.stack([
+            np.asarray(
+                Image.open(os.path.join(args.image_root, n))
+                .convert("RGB").resize((pix, pix), Image.BICUBIC)
+            )
+            for n in names
+        ])
+        if args.cons_inversion:
+            inv_g = pipe.default_guidance(guidance_scale=args.inv_guidance_scale)
+            lat, _ = pipe.invert(reals, caps, guidance=inv_g,
+                                 key=jax.random.PRNGKey(args.seed + i))
+            imgs, _ = pipe.generate(caps, latent=lat, guidance=g)
+        else:
+            inv_g = S.GuidanceConfig(
+                guidance_scale=args.inv_guidance_scale or 1.0, w_embed_dim=0
+            )
+            traj, _ = pipe.ddim_invert(reals, caps, guidance=inv_g)
+            imgs, _ = pipe.ddim_generate(caps, latent=traj[-1])
+        recs = to_uint8(imgs)
+        for j, (real, rec) in enumerate(zip(reals, recs)):
+            Image.fromarray(real).save(os.path.join(real_dir, f"{i + j:06d}.jpg"))
+            Image.fromarray(rec).save(os.path.join(rec_dir, f"{i + j:06d}.jpg"))
+            if fid_scorer is not None:
+                fid_images.append(rec)
+        if evals is not None:
+            bundles.append(evals.calc_inversion(
+                reals.astype(np.float32) / 255.0,
+                np.asarray(recs, np.float32) / 255.0,
+            ))
+        n_done += len(batch)
+        print(f"[{n_done}/{len(rows)}] reconstructed")
+
+    summary = {"n_images": n_done}
+    if bundles:
+        summary.update({
+            k: (
+                float(np.mean([b[k] for b in bundles]))
+                if all(b[k] is not None for b in bundles) else None
+            )
+            for k in bundles[0]
+        })
+    if fid_scorer is not None and fid_images:
+        summary["recon_fid"] = float(fid_scorer.fid(
+            fid_images, reference_stats_path=args.fid_stats
+        ))
+    with open(os.path.join(args.out, "reconstruction_metrics.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print("reconstruction:", summary)
+
+
 def main(argv=None):
     args = parse_args(argv)
     from invertible_cd_tpu.data import load_benchmark
@@ -223,9 +334,26 @@ def main(argv=None):
     )
     from PIL import Image
 
+    if args.image_root is not None:
+        if not args.benchmark:
+            sys.exit("--image_root needs --benchmark (a generation CSV "
+                     "with file_name + caption columns)")
+        return reconstruct_images(pipe, args, g)
+
     evals = build_evaluators(args) if args.calc_metrics else None
+    fid_scorer = None
+    if args.calc_metrics and args.fid_stats and args.inception_weights:
+        from invertible_cd_tpu.metrics import FIDScorer
+        from invertible_cd_tpu.models.convert import (
+            convert_inception_weights, load_torch_file,
+        )
+
+        fid_scorer = FIDScorer(
+            convert_inception_weights(load_torch_file(args.inception_weights))
+        )
     clip_scores = []
     ir_scores = []
+    fid_images = []  # uint8 frames kept in host RAM, as the reference does
     saved = []
     for i in range(0, len(prompts), args.batch_size):
         batch = prompts[i : i + args.batch_size]
@@ -238,6 +366,8 @@ def main(argv=None):
             path = os.path.join(args.out, f"{i + j:06d}.jpg")
             Image.fromarray(img).save(path)
             saved.append(path)
+            if fid_scorer is not None:
+                fid_images.append(img)
         if evals is not None:
             # the reference's generation eval: CLIP image-text score +
             # ImageReward over all prompts (`generate.py:404-425`)
@@ -256,6 +386,15 @@ def main(argv=None):
             "image_reward": float(np.mean(ir_scores)) if ir_scores else None,
             "n_images": len(saved),
         }
+        if fid_scorer is not None and fid_images:
+            # generation FID against reference stats — the reference
+            # declares --path_to_fid_reference/--path_to_inception on its
+            # generate.py (lines 230-238) and ships calculate_fid
+            # (utils/metrics.py:144) but never wires them together; here
+            # the flags actually compute it
+            metrics["fid"] = float(fid_scorer.fid(
+                fid_images, reference_stats_path=args.fid_stats
+            ))
         with open(os.path.join(args.out, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2)
         print("metrics:", metrics)

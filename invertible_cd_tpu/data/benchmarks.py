@@ -38,13 +38,17 @@ def _parse_blend(raw: str) -> Tuple[str, ...]:
 
 
 def load_benchmark(
-    path: str, kind: Optional[str] = None, max_count: Optional[int] = None
+    path: str, kind: Optional[str] = None, max_count: Optional[int] = None,
+    with_files: bool = False,
 ):
     """Load a benchmark CSV.
 
     kind: "generation" | "editing" | None (sniffed from the header).
-    Returns list[str] prompts (generation) or list[EditInstruction]
-    (editing), truncated to max_count (the reference's --max_cnt).
+    Returns list[str] prompts (generation; `(file_name, caption)` pairs
+    instead when `with_files` — the invert/reconstruct mode needs the real
+    image paths, reference `generate.py` path_to_images) or
+    list[EditInstruction] (editing), truncated to max_count (the
+    reference's --max_cnt).
     """
     with open(path, newline="", encoding="utf-8") as f:
         reader = csv.DictReader(f)
@@ -56,7 +60,14 @@ def load_benchmark(
         kind = "editing" if "edited_caption" in header else "generation"
 
     if kind == "generation":
-        out: List[str] = [r["caption"] for r in rows if r.get("caption")]
+        if with_files:
+            out: List = [
+                (r["file_name"], r["caption"])
+                for r in rows
+                if r.get("caption") and r.get("file_name")
+            ]
+        else:
+            out = [r["caption"] for r in rows if r.get("caption")]
     else:
         out = [
             EditInstruction(

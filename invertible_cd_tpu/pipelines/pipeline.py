@@ -361,7 +361,9 @@ class InvertibleCD:
     ):
         """Forward-CD inversion of a real image (reference `invert` cons path,
         `utils/inversion.py:51-100`). `image`: (H, W, 3) or (B, H, W, 3)
-        uint8/float in [0, 255]. Returns (noise latent, clean latent)."""
+        uint8/float in [0, 255]. `prompt`: one string shared by the batch,
+        or a sequence of per-image prompts (len == B).
+        Returns (noise latent, clean latent)."""
         pixels = to_model_pixels(image)
         # The forward student trains at w == 0 but IS w-conditioned: it
         # always sees guidance_scale_embedding(0) through cond_proj
@@ -369,8 +371,11 @@ class InvertibleCD:
         # cons_inversion), so inversion must keep the w-embedding pathway
         # active with w = 0 — not drop it.
         g = guidance or self.default_guidance(guidance_scale=0.0)
+        prompts = (
+            [prompt] * pixels.shape[0] if isinstance(prompt, str) else list(prompt)
+        )
         ctx_u, ctx_c, added = self._encode_all(
-            [prompt] * pixels.shape[0], need_uncond=g.w_embed_dim <= 0
+            prompts, need_uncond=g.w_embed_dim <= 0
         )
         if noise is None:
             h, w = self.latent_size
@@ -446,10 +451,14 @@ class InvertibleCD:
     ):
         """50-step DDIM inversion; returns the full latent trajectory
         (needed as NTI targets — reference `ddim_inversion`,
-        `utils/generation.py:349-371`)."""
+        `utils/generation.py:349-371`). `prompt`: one string or per-image
+        prompts (len == B)."""
         pixels = to_model_pixels(image)
         g = guidance or S.GuidanceConfig(guidance_scale=1.0, w_embed_dim=0)
-        ctx_u, ctx_c, added = self._encode_all([prompt] * pixels.shape[0])
+        prompts = (
+            [prompt] * pixels.shape[0] if isinstance(prompt, str) else list(prompt)
+        )
+        ctx_u, ctx_c, added = self._encode_all(prompts)
         fn = self._get_jit("ddim_invert", g)
         return fn(
             self.params["teacher"], self.params["vae"], pixels, ctx_u, ctx_c, added

@@ -36,9 +36,56 @@ def timeit(fn, iters=6):
     return (time.perf_counter() - t0) / iters
 
 
+def profile_sdxl(args):
+    """SDXL stage breakdown (batch 1 is the single-chip optimum, bench.py)."""
+    from invertible_cd_tpu.pipelines.sdxl import InvertibleCDXL
+
+    pipe = InvertibleCDXL.sdxl(dtype=jnp.bfloat16, quantize=args.quantize)
+    b = args.batch
+    prompts = ["a photo of a corgi on the beach"] * b
+
+    def stage_text():
+        ctx_u, ctx_c, added = pipe._encode_all(prompts)
+        _fence(ctx_c)
+
+    ctx_u, ctx_c, added = pipe._encode_all(prompts)
+    latent = jnp.zeros((b, 128, 128, 4), jnp.bfloat16)
+    w_emb = jnp.zeros((b, 512), jnp.bfloat16)
+    nm = pipe._noise_model(pipe.params["reverse"], added=added)
+    unet_fn = jax.jit(lambda x, c, w: nm(x, 999, c, w, None))
+
+    def stage_unet():
+        _fence(unet_fn(latent, ctx_c, w_emb))
+
+    dec = jax.jit(lambda p, z: pipe._decode_latents(p, z))
+
+    def stage_vae():
+        _fence(dec(pipe.params["vae"], jnp.zeros((b, 128, 128, 4), jnp.float32)))
+
+    def full():
+        imgs, _ = pipe.generate(prompts, key=jax.random.PRNGKey(0))
+        _fence(imgs)
+
+    t_text = timeit(stage_text)
+    t_unet = timeit(stage_unet)
+    t_vae = timeit(stage_vae)
+    t_full = timeit(full)
+    print(f"sdxl batch {b}")
+    print(f"  text encode (dual) : {t_text * 1e3:8.1f} ms")
+    print(f"  one UNet call      : {t_unet * 1e3:8.1f} ms  (x4 = {4 * t_unet * 1e3:.1f})")
+    print(f"  VAE decode (fp32)  : {t_vae * 1e3:8.1f} ms")
+    print(f"  sum (text+4u+vae)  : {(t_text + 4 * t_unet + t_vae) * 1e3:8.1f} ms")
+    print(f"  fused generate     : {t_full * 1e3:8.1f} ms -> {b / t_full:.2f} img/s")
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            full()
+        print(f"trace written to {args.trace}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--model", default="sd15", choices=["sd15", "sdxl"])
     ap.add_argument("--trace", default=None)
     ap.add_argument("--quantize", default="off",
                     choices=["off", "int8", "int8_vae"],
@@ -47,6 +94,9 @@ def main():
 
     from invertible_cd_tpu.ops.quant import quant_scope
     from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
+
+    if args.model == "sdxl":
+        return profile_sdxl(args)
 
     pipe = InvertibleCD.sd15(dtype=jnp.bfloat16, quantize=args.quantize)
     unet_mode = "int8" if args.quantize == "int8" else "off"
