@@ -54,6 +54,43 @@ class TestSDXL:
             np.asarray(ids), [[32, 32, 0, 0, 32, 32]] * 2
         )
 
+    def test_capture_intermediates_stage_names(self, pipe):
+        """Drift guard for tests/test_reference_parity_sdxl.py: the
+        per-stage replay captures activations by module name
+        (conv_in / down_blocks_i / mid_block / up_blocks_i); renaming a
+        block would silently skip its parity comparison."""
+        import jax.numpy as jnp
+
+        cfg = pipe.unet.cfg
+        n = len(cfg.block_out_channels)
+        stages = (
+            ["conv_in"]
+            + [f"down_blocks_{i}" for i in range(n)]
+            + ["mid_block"]
+            + [f"up_blocks_{i}" for i in range(n)]
+        )
+
+        def flt(mdl, method_name):
+            return mdl.name in stages and method_name == "__call__"
+
+        h, w = pipe.latent_size
+        latent = jnp.zeros((1, h, w, 4), jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        ctx = jnp.zeros((1, 77, cfg.cross_attention_dim), jnp.float32)
+        w_emb = jnp.zeros((1, cfg.time_cond_proj_dim), jnp.float32)
+        pooled_dim = cfg.addition_embed_dim - 6 * cfg.addition_time_embed_dim
+        added = {
+            "text_embeds": jnp.zeros((1, pooled_dim), jnp.float32),
+            "time_ids": pipe.add_time_ids(1),
+        }
+        _, state = pipe.unet.apply(
+            pipe.params["reverse"], latent, t, ctx, w_cond=w_emb,
+            added_cond=added, capture_intermediates=flt,
+        )
+        got = set(state["intermediates"])
+        missing = [s for s in stages if s not in got]
+        assert not missing, f"stage names drifted: {missing}"
+
     def test_uncond_context_is_zeros(self, pipe):
         """SDXL zeroes the uncond context (force_zeros_for_empty_prompt;
         reference train_icd_xl_lora.py:900-903)."""
