@@ -109,7 +109,17 @@ def parse_args(argv=None):
                         "int8_static auto-runs collect_quant_stats once")
     p.add_argument("--guidance_scale", type=float, default=None,
                    help="default 19.0 (cons editing) / 8.0 (DDIM baselines)")
-    p.add_argument("--tau", type=float, default=0.8)
+    p.add_argument("--tau", type=float, default=0.8,
+                   help="dynamic-guidance tau1 (reference --tau1; the "
+                        "launch twin uses 0.8/0.8)")
+    p.add_argument("--tau2", type=float, default=None,
+                   help="dynamic-guidance tau2 (reference --tau2); "
+                        "defaults to --tau. tau1<tau2 ramps the guidance "
+                        "weight linearly between them")
+    p.add_argument("--dynamic_guidance", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="schedule the guidance weight over t (reference "
+                        "--dynamic_guidance; launch_editing_iCD passes True)")
     p.add_argument("--baseline", default="none",
                    choices=["none", "ddim", "npi", "nti"],
                    help="50-step DDIM-inversion editing baselines instead of "
@@ -163,9 +173,10 @@ def edit_one_sdxl(pipe, args, image, source, target):
     source context is swapped in while t > tau1*1000. No p2p controller."""
     from invertible_cd_tpu.pipelines.pipeline import to_uint8
 
+    tau2 = args.tau if args.tau2 is None else args.tau2
     g = pipe.default_guidance(
-        guidance_scale=args.guidance_scale, dynamic_guidance=True,
-        tau1=args.tau, tau2=args.tau,
+        guidance_scale=args.guidance_scale,
+        dynamic_guidance=args.dynamic_guidance, tau1=args.tau, tau2=tau2,
     )
     imgs, _ = pipe.edit(
         image, source, target, key=jax.random.PRNGKey(args.seed), guidance=g,
@@ -306,9 +317,11 @@ def edit_one(pipe, args, image, source, target, blend_pair):
     ctrl = _build_edit_controller(
         pipe, args, source, target, blend_pair, pipe.grid.num_reverse_steps
     )
+    tau2 = args.tau if args.tau2 is None else args.tau2
     g = pipe.default_guidance(
-        guidance_scale=args.guidance_scale, dynamic_guidance=True,
-        tau1=args.tau, tau2=args.tau, edit_pair=True,
+        guidance_scale=args.guidance_scale,
+        dynamic_guidance=args.dynamic_guidance, tau1=args.tau, tau2=tau2,
+        edit_pair=True,
     )
     imgs, _ = pipe.edit(
         image, source, target, ctrl, key=jax.random.PRNGKey(args.seed),

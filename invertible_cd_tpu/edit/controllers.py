@@ -267,6 +267,10 @@ def edit_attention(
     if spec.kind in ("empty", "store", "spatial_replace"):
         return probs
     base, repl = probs[0], probs[1:]
+    if not meta.is_cross and meta.query_len > STORE_MAX_TOKENS:
+        # reference replace_self_attention (p2p.py:178-183): >32^2 self
+        # maps pass through untouched
+        return probs
     if meta.is_cross:
         alpha = arrays.cross_replace_alpha[step]  # (B-1, 1, 1, 77)
         new = _replace_cross(spec, arrays, base, repl)
@@ -362,6 +366,32 @@ class ControllerRuntime:
     def hook_factory(self, step: int):
         spec = self.spec
 
+        def applies(meta: AttnMeta) -> bool:
+            """Static per-layer predicate: does this hook do anything here?
+
+            When False the layer keeps the FUSED attention path — the
+            explicit path materialises (B, H, Sq, Sk) probabilities, which
+            at a 64^2 self layer is gigabytes of HBM traffic for what the
+            reference semantics leave untouched anyway
+            (replace_self_attention passes >32^2 through, p2p.py:178-183).
+            Everything consulted is trace-time static, so this is pure
+            routing: the hooked program's numerics are unchanged.
+            """
+            if spec.store_all and meta.query_len <= STORE_MAX_TOKENS:
+                return True
+            if (
+                spec.local_blend
+                and meta.is_cross
+                and meta.query_len == BLEND_RES * BLEND_RES
+            ):
+                return True
+            if spec.kind in ("empty", "store", "spatial_replace"):
+                return False
+            if meta.is_cross:
+                return True
+            lo, hi = spec.self_replace_range
+            return lo <= step < hi and meta.query_len <= STORE_MAX_TOKENS
+
         def hook(probs: jax.Array, meta: AttnMeta) -> jax.Array:
             # The reference appends the attention tensor to its store and
             # THEN mutates it in place through a reshape view
@@ -380,6 +410,7 @@ class ControllerRuntime:
                 self._step_maps.append(edited.astype(jnp.float32))
             return edited
 
+        hook.applies = applies
         return hook
 
     # -- latent callback ----------------------------------------------------

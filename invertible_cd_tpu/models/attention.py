@@ -208,7 +208,12 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, sk, self.heads, head_dim)
         v = v.reshape(b, sk, self.heads, head_dim)
 
-        if hook is None:
+        # A hook may carry a static `applies(meta)` predicate saying it is
+        # an identity on this layer (e.g. self-attention >32^2 tokens,
+        # reference p2p.py:178-183) — keep the fused path there instead of
+        # materialising a (B, H, Sq, Sk) probability tensor for nothing.
+        applies = getattr(hook, "applies", None)
+        if hook is None or (applies is not None and not applies(meta)):
             out = fused_attention(q, k, v)
         else:
             out = explicit_attention(q, k, v, hook, meta)

@@ -1,0 +1,134 @@
+"""Static hook routing: layers where the controller is an identity must
+keep the FUSED attention path (no probability materialisation).
+
+The reference edits cross-attention at every resolution but passes
+self-attention >32^2 tokens through untouched
+(`utils/p2p.py:178-183 replace_self_attention`); its AttentionStore also
+only keeps <=32^2 maps (`p2p.py:147`). Our hook carries a trace-time
+`applies(meta)` predicate encoding exactly that, and
+models/attention.py routes applies()==False layers to fused attention —
+at a 64^2 self layer the explicit path would otherwise write a
+(B, H, 4096, 4096) fp32 probability tensor to HBM for nothing.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from invertible_cd_tpu.edit.controllers import (
+    ControllerRuntime,
+    ControllerSpec,
+    edit_attention,
+    make_controller,
+)
+from invertible_cd_tpu.models.attention import AttnMeta
+from invertible_cd_tpu.utils.tokenizer import HashTokenizer
+
+PROMPTS = ["a photo of a corgi", "a photo of a cat"]
+NUM_STEPS = 4
+
+
+def _meta(is_cross, sq, place="down", idx=0):
+    return AttnMeta(
+        place=place, is_cross=is_cross, layer_index=idx,
+        query_len=sq, key_len=77 if is_cross else sq, heads=2,
+    )
+
+
+def _controller(**kw):
+    spec, arrays = make_controller(
+        PROMPTS, HashTokenizer(), NUM_STEPS,
+        is_replace_controller=True,
+        cross_replace_steps=0.8, self_replace_steps=0.4, **kw,
+    )
+    return spec, arrays
+
+
+def test_applies_predicate_matches_reference_semantics():
+    spec, arrays = _controller()
+    rt = ControllerRuntime(spec, arrays)
+    # self_replace_steps=0.4 over 4 steps -> self replaced on steps [0, 1)
+    hook0 = rt.hook_factory(0)
+    hook2 = rt.hook_factory(2)
+
+    # cross-attention is edited at EVERY resolution (p2p.py:199-206)
+    assert hook0.applies(_meta(True, 4096))
+    assert hook2.applies(_meta(True, 256))
+    # self <=32^2 only inside the replace range
+    assert hook0.applies(_meta(False, 1024))
+    assert not hook2.applies(_meta(False, 1024))
+    # self >32^2 never edited (replace_self_attention pass-through)
+    assert not hook0.applies(_meta(False, 4096))
+
+
+def test_applies_local_blend_keeps_16sq_cross_maps():
+    spec, arrays = _controller(blend_words=[("corgi",), ("cat",)])
+    rt = ControllerRuntime(spec, arrays)
+    hook = rt.hook_factory(3)  # outside the self-replace range
+    # LocalBlend must still see the 16^2 cross maps on every step
+    assert hook.applies(_meta(True, 256))
+    assert not hook.applies(_meta(False, 4096))
+
+
+def test_applies_store_kinds():
+    spec = ControllerSpec(kind="store", store_all=True, num_steps=NUM_STEPS)
+    _, arrays = _controller()
+    rt = ControllerRuntime(spec, arrays)
+    hook = rt.hook_factory(0)
+    # AttentionStore keeps <=32^2 maps only (p2p.py:147)
+    assert hook.applies(_meta(True, 1024))
+    assert hook.applies(_meta(False, 256))
+    assert not hook.applies(_meta(False, 4096))
+    assert not hook.applies(_meta(True, 4096))
+
+    empty = ControllerSpec(kind="empty", num_steps=NUM_STEPS)
+    rt = ControllerRuntime(empty, arrays)
+    assert not rt.hook_factory(0).applies(_meta(True, 256))
+
+
+def test_edit_attention_passes_large_self_through():
+    spec, arrays = _controller()
+    # meta.query_len drives the static branch; the array itself can be
+    # small (the branch never inspects probs.shape)
+    probs = jnp.asarray(
+        np.random.default_rng(0).random((2, 2, 8, 8)).astype(np.float32)
+    )
+    out = edit_attention(spec, arrays, probs, _meta(False, 4096), step=0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(probs))
+
+
+def test_identity_layers_route_to_fused_attention(monkeypatch):
+    """models/attention.py must take the fused path when applies() is
+    False — pinned by counting explicit_attention calls."""
+    import invertible_cd_tpu.models.attention as A
+
+    spec, arrays = _controller()
+    rt = ControllerRuntime(spec, arrays)
+    hook = rt.hook_factory(2)  # outside self-replace range
+
+    calls = []
+    real = A.explicit_attention
+
+    def spy(q, k, v, hook_, meta):
+        calls.append((meta.is_cross, meta.query_len))
+        return real(q, k, v, hook_, meta)
+
+    monkeypatch.setattr(A, "explicit_attention", spy)
+
+    class _Layer:
+        pass
+
+    rng = np.random.default_rng(1)
+
+    def run(meta):
+        sk = meta.key_len if meta.is_cross else 8  # cross mapper needs Sk=77
+        # drive the routing logic directly (same branch CrossAttention uses)
+        q = jnp.asarray(rng.random((2, 8, 2, 8)).astype(np.float32))
+        k = jnp.asarray(rng.random((2, sk, 2, 8)).astype(np.float32))
+        applies = getattr(hook, "applies", None)
+        if hook is None or (applies is not None and not applies(meta)):
+            A.fused_attention(q, k, k)
+        else:
+            A.explicit_attention(q, k, k, hook, meta)
+
+    run(_meta(False, 4096))  # identity self layer -> fused
+    run(_meta(True, 256))  # edited cross layer -> explicit
+    assert calls == [(True, 256)]
