@@ -134,6 +134,12 @@ def predict_noise(
         def cond_half_hook(probs, meta):  # noqa: E306
             keep, edit = jnp.split(probs, 2, axis=0)
             return jnp.concatenate([keep, hook(edit, meta)], axis=0)
+        # keep the static identity-layer predicate visible through the
+        # wrapper, or the CFG path (the 50-step DDIM/NTI baselines) would
+        # materialise probabilities on every layer again
+        applies = getattr(hook, "applies", None)
+        if applies is not None:
+            cond_half_hook.applies = applies
     eps = noise_model(doubled, t, ctx, None, cond_half_hook)
     eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
     scale = g.cfg_scale_at(t)

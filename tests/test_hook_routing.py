@@ -95,6 +95,29 @@ def test_edit_attention_passes_large_self_through():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(probs))
 
 
+def test_cfg_wrapper_propagates_applies():
+    """predict_noise's CFG cond-half wrapper (the DDIM/NTI baseline path)
+    must keep the identity-layer predicate visible to the routing."""
+    from invertible_cd_tpu.pipelines import sampler as S
+
+    spec, arrays = _controller()
+    rt = ControllerRuntime(spec, arrays)
+    hook = rt.hook_factory(0)
+    captured = {}
+
+    def nm(latent, t, ctx, w_emb, h):
+        captured["hook"] = h
+        return latent
+
+    g = S.GuidanceConfig(guidance_scale=8.0, w_embed_dim=0)
+    lat = jnp.zeros((2, 4, 4, 4), jnp.float32)
+    ctx = jnp.zeros((2, 77, 8), jnp.float32)
+    S.predict_noise(nm, lat, 999, ctx, ctx, g, hook)
+    wrapped = captured["hook"]
+    assert wrapped is not hook
+    assert wrapped.applies is hook.applies
+
+
 def test_identity_layers_route_to_fused_attention(monkeypatch):
     """models/attention.py must take the fused path when applies() is
     False — pinned by counting explicit_attention calls."""
