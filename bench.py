@@ -4,11 +4,16 @@ Prints ONE JSON line for the selected config:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Modes (`python bench.py [--mode MODE]`):
-  gen (default)  config 1: 4-step iCD-SD1.5 512x512 generation, batch-16
-                 throughput — the headline. ONE compiled program, so the
-                 driver's run stays fast; the other configs are separate
-                 modes (each is its own multi-minute remote XLA compile)
-                 whose measured numbers are recorded in README.md.
+  all (default)  every BASELINE config in ONE run, one JSON line each,
+                 in order: gen (config 1 — FIRST, so a driver that reads
+                 the first line still gets the headline), edit, sdxl,
+                 sdxl_edit, train4. Each line is printed+flushed as soon
+                 as it is measured and a failing mode only logs to
+                 stderr, so a timeout or per-mode crash never loses the
+                 lines already emitted. Compiles are amortized via
+                 JAX_COMPILATION_CACHE_DIR.
+  gen            config 1: 4-step iCD-SD1.5 512x512 generation, batch-16
+                 throughput — the headline.
   latency        config 1b: batch-1 generation latency (the reference
                  protocol's shape).
   gen_int8 / gen_int8_vae / gen_int8_static / latency_int8
@@ -416,16 +421,59 @@ def bench_train(full_losses=False):
     }
 
 
+def bench_all():
+    """All five BASELINE configs, one JSON line each (VERDICT r3 item 2).
+
+    Config 1 prints FIRST and every line is flushed immediately; a mode
+    that fails (OOM, compile-service error) reports to stderr and the
+    run continues, so partial output is always a prefix of the full set.
+    Between modes the pipeline objects go out of scope and gc runs so
+    device HBM from one config does not starve the next (SDXL alone
+    holds ~5.2 GB of bf16 params on a 16 GB chip)."""
+    import gc
+    import sys
+    import traceback
+
+    modes = [
+        ("gen", bench_gen),  # config 1 — keep first
+        ("edit", bench_edit),  # config 2
+        ("sdxl", bench_sdxl),  # config 3
+        ("sdxl_edit", bench_sdxl_edit),  # config 4
+        ("train4", lambda: bench_train(full_losses=True)),  # config 5
+    ]
+    for name, fn in modes:
+        t0 = time.perf_counter()
+        try:
+            result = fn()
+        except Exception:
+            print(
+                f"[bench --mode all] mode {name} FAILED after "
+                f"{time.perf_counter() - t0:.0f}s:\n{traceback.format_exc()}",
+                file=sys.stderr, flush=True,
+            )
+        else:
+            print(json.dumps(result), flush=True)
+            print(
+                f"[bench --mode all] {name} done in "
+                f"{time.perf_counter() - t0:.0f}s",
+                file=sys.stderr, flush=True,
+            )
+        gc.collect()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode", default="gen",
-        choices=["gen", "gen_int8", "gen_int8_vae", "latency",
+        "--mode", default="all",
+        choices=["all", "gen", "gen_int8", "gen_int8_vae", "latency",
                  "latency_int8", "gen_int8_static", "edit", "edit_sweep",
                  "sdxl", "sdxl_int8", "sdxl_edit", "serve", "train",
                  "train4"],
     )
     args = ap.parse_args()
+    if args.mode == "all":
+        bench_all()
+        return
     result = {
         "gen": bench_gen, "latency": bench_latency, "edit": bench_edit,
         "gen_int8": lambda: bench_gen(quantize="int8"),

@@ -159,6 +159,12 @@ def parse_args(argv=None):
     p.add_argument("--vae_checkpoint", default=None)
     p.add_argument("--text_checkpoint", default=None)
     p.add_argument("--calc_metrics", action="store_true")
+    p.add_argument("--crop_left", type=int, default=0,
+                   help="load_512 edge-crop offsets before the center "
+                        "square crop (reference generation.py:546-558)")
+    p.add_argument("--crop_right", type=int, default=0)
+    p.add_argument("--crop_top", type=int, default=0)
+    p.add_argument("--crop_bottom", type=int, default=0)
     from cli.generate import add_scorer_args
 
     add_scorer_args(p)
@@ -296,7 +302,15 @@ def edit_one_baseline(pipe, args, image, source, target, blend_pair):
             nti_uncond, (n, 2) + nti_uncond.shape[2:]
         )
     ctrl = _build_edit_controller(pipe, args, source, target, blend_pair, n)
-    g = S.GuidanceConfig(guidance_scale=args.guidance_scale, w_embed_dim=0)
+    # The reference forwards dynamic_guidance/tau1/tau2 to the runner in
+    # baseline modes too (`edit.py:435-458`; its launch scripts leave them
+    # at the default False) — honor an explicit --dynamic_guidance here
+    # instead of silently dropping it.
+    tau2 = args.tau if args.tau2 is None else args.tau2
+    g = S.GuidanceConfig(
+        guidance_scale=args.guidance_scale, w_embed_dim=0,
+        dynamic_guidance=args.dynamic_guidance, tau1=args.tau, tau2=tau2,
+    )
     latent = jnp.broadcast_to(inv_latent[:1], (2,) + inv_latent.shape[1:])
     imgs, _ = pipe.ddim_generate(
         [source, target], latent=latent, guidance=g, controller=ctrl,
@@ -346,6 +360,7 @@ def main(argv=None):
     from PIL import Image
 
     from invertible_cd_tpu.data import load_benchmark
+    from invertible_cd_tpu.pipelines import load_512
     from cli.generate import build_pipeline
 
     os.makedirs(args.out, exist_ok=True)
@@ -386,8 +401,11 @@ def main(argv=None):
     results = []
     per_row_metrics = []
     for i, (path, source, target, blend) in enumerate(rows):
-        img = Image.open(path).convert("RGB").resize((pix, pix), Image.BICUBIC)
-        rec, edited = edit_one(pipe, args, np.asarray(img), source, target, blend)
+        img = load_512(
+            path, left=args.crop_left, right=args.crop_right,
+            top=args.crop_top, bottom=args.crop_bottom, size=pix,
+        )
+        rec, edited = edit_one(pipe, args, img, source, target, blend)
         out_path = os.path.join(args.out, f"{i:05d}_edited.jpg")
         Image.fromarray(edited).save(out_path)
         Image.fromarray(rec).save(out_path.replace("_edited", "_rec"))
@@ -403,7 +421,17 @@ def main(argv=None):
             )
         print(f"[{i + 1}/{len(rows)}] {source!r} -> {target!r}")
 
-    summary = {"results": results}
+    # Compiled-executable census: every jitted program the sweep used and
+    # how many distinct lowerings it holds. A well-formed benchmark sweep
+    # compiles each program ONCE — per-row growth here means shape/static
+    # churn (recompiles), the silent killer of sweep throughput.
+    compiles = {}
+    for key, fn in pipe._jit_cache.items():
+        size = getattr(fn, "_cache_size", None)
+        name = key[0] if isinstance(key, tuple) else str(key)
+        if size is not None:
+            compiles[name] = compiles.get(name, 0) + int(size())
+    summary = {"results": results, "compiled_executables": compiles}
     if per_row_metrics:
         keys = per_row_metrics[0].keys()
         summary["metrics"] = {

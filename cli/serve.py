@@ -36,6 +36,10 @@ def parse_args(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--batch_sizes", default=None,
+                   help="comma-separated compiled program set, e.g. '1,8': "
+                        "each batch dispatches at the smallest size that "
+                        "fits (low-traffic requests skip the padding)")
     p.add_argument("--max_delay_ms", type=float, default=10.0)
     p.add_argument("--guidance_scale", type=float, default=19.0)
     p.add_argument("--tau1", type=float, default=0.8)
@@ -83,8 +87,12 @@ def make_server(args, pipe=None):
         guidance_scale=args.guidance_scale, dynamic_guidance=True,
         tau1=args.tau1, tau2=args.tau2,
     )
+    sizes = (
+        tuple(int(b) for b in args.batch_sizes.split(","))
+        if args.batch_sizes else None
+    )
     executor = BatchingExecutor(
-        pipe, batch_size=args.batch_size,
+        pipe, batch_size=args.batch_size, batch_sizes=sizes,
         max_delay=args.max_delay_ms / 1e3, guidance=g,
     )
 

@@ -159,6 +159,22 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return jax.nn.dot_product_attention(q, k, v)
 
 
+def routes_to_explicit(hook: Optional[AttnHook], meta: Optional[AttnMeta]) -> bool:
+    """True when this layer must materialise probabilities for the hook.
+
+    A hook may carry a static `applies(meta)` predicate saying it is an
+    identity on this layer (e.g. self-attention >32^2 tokens, reference
+    p2p.py:178-183) — such layers keep the fused path instead of paying
+    for a (B, H, Sq, Sk) probability tensor. Shared by `CrossAttention`
+    and tests/test_hook_routing.py so the routing condition is pinned in
+    exactly one place.
+    """
+    if hook is None:
+        return False
+    applies = getattr(hook, "applies", None)
+    return applies is None or bool(applies(meta))
+
+
 def explicit_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, hook: AttnHook, meta: AttnMeta
 ) -> jax.Array:
@@ -208,15 +224,10 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, sk, self.heads, head_dim)
         v = v.reshape(b, sk, self.heads, head_dim)
 
-        # A hook may carry a static `applies(meta)` predicate saying it is
-        # an identity on this layer (e.g. self-attention >32^2 tokens,
-        # reference p2p.py:178-183) — keep the fused path there instead of
-        # materialising a (B, H, Sq, Sk) probability tensor for nothing.
-        applies = getattr(hook, "applies", None)
-        if hook is None or (applies is not None and not applies(meta)):
-            out = fused_attention(q, k, v)
-        else:
+        if routes_to_explicit(hook, meta):
             out = explicit_attention(q, k, v, hook, meta)
+        else:
+            out = fused_attention(q, k, v)
 
         out = out.reshape(b, sq, inner_dim)
         return QDense(inner_dim, dtype=self.dtype, name="to_out_0")(out)

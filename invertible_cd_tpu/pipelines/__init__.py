@@ -6,7 +6,13 @@ from .sampler import (
     predict_noise,
     w_embedding_for,
 )
-from .pipeline import InvertibleCD, init_zero_params, to_model_pixels, to_uint8
+from .pipeline import (
+    InvertibleCD,
+    init_zero_params,
+    load_512,
+    to_model_pixels,
+    to_uint8,
+)
 
 __all__ = [
     "GuidanceConfig",
@@ -17,6 +23,7 @@ __all__ = [
     "w_embedding_for",
     "InvertibleCD",
     "init_zero_params",
+    "load_512",
     "to_model_pixels",
     "to_uint8",
 ]

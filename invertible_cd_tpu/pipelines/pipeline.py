@@ -242,7 +242,7 @@ class InvertibleCD:
 
     def _build_cons_generate(
         self, g: S.GuidanceConfig, spec: Optional[ControllerSpec],
-        has_amplify: bool = False,
+        has_amplify: bool = False, return_traj: bool = False,
     ):
         def run(unet_params, vae_params, latent, ctx_u, ctx_c, ctx_amp, arrays, added):
             rt = ControllerRuntime(spec, arrays) if spec is not None else None
@@ -252,19 +252,21 @@ class InvertibleCD:
                 hook_factory=rt.hook_factory if rt else None,
                 step_callback=rt.step_callback if rt else None,
                 context_amplify=ctx_amp if has_amplify else None,
+                return_all=return_traj,
             )
+            final = latent[-1] if return_traj else latent
             # store_all specs surface the recorded attention maps as a jit
             # output (trace-time-collected tracers become real arrays).
             store = rt.store if (rt is not None and spec.store_all) else {}
-            return self._decode_latents(vae_params, latent), latent, store
+            return self._decode_latents(vae_params, final), latent, store
         return jax.jit(run)
 
-    def _build_cons_invert(self, g: S.GuidanceConfig):
+    def _build_cons_invert(self, g: S.GuidanceConfig, return_traj: bool = False):
         def run(unet_params, vae_params, pixels, noise, ctx_u, ctx_c, added):
             latent = self._encode_image(vae_params, pixels)
             inv = S.cons_inversion(
                 self._noise_model(unet_params, added), latent, noise, ctx_u, ctx_c,
-                self.grid, self.schedule, g,
+                self.grid, self.schedule, g, return_all=return_traj,
             )
             return inv, latent
         return jax.jit(run)
@@ -313,6 +315,7 @@ class InvertibleCD:
         controller: Optional[Tuple[ControllerSpec, ControllerArrays]] = None,
         model: str = "reverse",
         amplify_prompt: Optional[Sequence[str]] = None,
+        return_trajectory: bool = False,
     ):
         """Few-step consistency generation (reference `runner` with
         `is_cons_forward=True`, `utils/generation.py:12-66`).
@@ -321,7 +324,9 @@ class InvertibleCD:
         `generation_sdxl.py:426-442`): the prompt(s) whose context replaces
         the main prompts' while `t > tau1 * 1000` under dynamic guidance.
 
-        Returns (images float32 [0,1] NHWC, final latents).
+        Returns (images float32 [0,1] NHWC, final latents) — or, with
+        `return_trajectory=True`, (images, (n_hops+1, B, H, W, C) latent
+        trajectory; row i is hop i's input, the reference's `all_latent`).
         """
         if isinstance(prompts, str):
             prompts = [prompts]
@@ -342,7 +347,10 @@ class InvertibleCD:
         spec, arrays = controller if controller else (None, None)
         if spec is None:
             arrays = empty_arrays(self.grid.num_reverse_steps, len(prompts))
-        fn = self._get_jit("cons_generate", g, spec, amplify_prompt is not None)
+        fn = self._get_jit(
+            "cons_generate", g, spec, amplify_prompt is not None,
+            return_trajectory,
+        )
         images, latents, store = fn(
             self.params[model], self.params["vae"], latent, ctx_u, ctx_c, ctx_amp,
             arrays, added,
@@ -358,12 +366,15 @@ class InvertibleCD:
         key: Optional[jax.Array] = None,
         noise: Optional[jax.Array] = None,
         guidance: Optional[S.GuidanceConfig] = None,
+        return_trajectory: bool = False,
     ):
         """Forward-CD inversion of a real image (reference `invert` cons path,
         `utils/inversion.py:51-100`). `image`: (H, W, 3) or (B, H, W, 3)
         uint8/float in [0, 255]. `prompt`: one string shared by the batch,
         or a sequence of per-image prompts (len == B).
-        Returns (noise latent, clean latent)."""
+        Returns (noise latent, clean latent); `return_trajectory=True`
+        replaces the noise latent with the full (n_hops+1, ...) forward
+        trajectory (row i = hop i's input)."""
         pixels = to_model_pixels(image)
         # The forward student trains at w == 0 but IS w-conditioned: it
         # always sees guidance_scale_embedding(0) through cond_proj
@@ -382,7 +393,7 @@ class InvertibleCD:
             noise = jax.random.normal(
                 (key if key is not None else jax.random.PRNGKey(0)), (pixels.shape[0], h, w, 4)
             )
-        fn = self._get_jit("cons_invert", g)
+        fn = self._get_jit("cons_invert", g, return_trajectory)
         return fn(
             self.params["forward"], self.params["vae"], pixels, noise, ctx_u, ctx_c,
             added,
@@ -480,18 +491,17 @@ class InvertibleCD:
         every later apply under quantize='int8_static' reads it with no
         pipeline plumbing.
 
-        Approximation, documented deliberately: the sampler's
-        one-program design does not expose mid-trajectory latents, so
-        the UNet is calibrated at each grid timestep on the initial
-        noise latent AND on schedule-noised versions of the bf16 run's
-        final latent (a good stand-in for mid-trajectory inputs: each
-        hop's input is exactly an alpha-blend of a clean latent and
-        noise at that t); the VAE calibrates on the true final latent.
-        Statistics come from the caller's prompt set. int8_static clips
-        anything the calibration missed; for maximum fidelity use
-        quantize='int8' (fully dynamic) instead."""
+        Calibration inputs are the TRUE per-hop latents: a bf16 reference
+        run records the reverse trajectory (`generate(...,
+        return_trajectory=True)`), its output image is then forward-CD
+        inverted to record the forward trajectory, and each student
+        calibrates hop-by-hop on exactly the tensors it will see at
+        inference. The VAE calibrates on the true final latent (decode)
+        and its decoded pixels (encode). Statistics come from the
+        caller's prompt set; int8_static clips anything the calibration
+        missed — for maximum fidelity use quantize='int8' (fully
+        dynamic) instead."""
         from ..diffusion.guidance import guidance_scale_embedding
-        from ..diffusion.schedule import add_noise
         from ..ops.quant import quant_scope
 
         prompts = list(prompts)
@@ -501,16 +511,24 @@ class InvertibleCD:
         _, ctx_c, added = self._encode_all(prompts, need_uncond=False)
         latent = self.init_latent(key, b, dtype=jnp.bfloat16)
 
-        # bf16 reference run: its final latent anchors the calibration
+        # bf16 reference run records the true trajectories
         old_quantize = self.quantize
         self.quantize = "off"
         try:
-            _, final_lat = self.generate(prompts, key=key, guidance=g)
+            images, traj = self.generate(
+                prompts, key=key, guidance=g, return_trajectory=True
+            )
+            inv_traj = None
+            if "forward" in models:
+                inv_traj, _ = self.invert(
+                    np.asarray(images, np.float32) * 255.0, prompts,
+                    key=jax.random.fold_in(key, 1),
+                    guidance=self.default_guidance(guidance_scale=0.0),
+                    return_trajectory=True,
+                )
         finally:
             self.quantize = old_quantize
-        noise = jax.random.normal(
-            jax.random.fold_in(key, 1), final_lat.shape, jnp.float32
-        )
+        final_lat = traj[-1]
         w_emb = None
         if g.w_embed_dim:
             w_emb = guidance_scale_embedding(
@@ -533,26 +551,25 @@ class InvertibleCD:
 
         for model in models:
             stats = None
-            grid_ts = (
-                self.grid.reverse_timesteps if model != "forward"
-                else self.grid.forward_timesteps
-            )
-            w = w_emb if model != "forward" else (
-                guidance_scale_embedding(
-                    jnp.zeros((b,), jnp.float32), g.w_embed_dim,
-                    dtype=latent.dtype,
-                ) if g.w_embed_dim else None
-            )
+            if model == "forward":
+                grid_ts = self.grid.forward_timesteps
+                hop_inputs = inv_traj
+                w = (
+                    guidance_scale_embedding(
+                        jnp.zeros((b,), jnp.float32), g.w_embed_dim,
+                        dtype=latent.dtype,
+                    ) if g.w_embed_dim else None
+                )
+            else:
+                grid_ts = self.grid.reverse_timesteps
+                hop_inputs = traj
+                w = w_emb
             fn = jax.jit(unet_calib)  # t is traced: ONE compile per model
-            for t in grid_ts:
+            for i, t in enumerate(grid_ts):
                 t_arr = jnp.full((b,), int(t), jnp.int32)
-                noised = add_noise(
-                    self.schedule, final_lat.astype(jnp.float32), noise,
-                    t_arr,
-                ).astype(latent.dtype)
-                for lat in (latent, noised):
-                    _, muts = fn(self.params[model], lat, t_arr, ctx_c, w)
-                    stats = merge(stats, muts["quant_stats"])
+                lat = hop_inputs[i].astype(latent.dtype)
+                _, muts = fn(self.params[model], lat, t_arr, ctx_c, w)
+                stats = merge(stats, muts["quant_stats"])
             self.params[model] = {**self.params[model], "quant_stats": stats}
 
         # VAE: decode a representative latent, encode the result. The
@@ -595,6 +612,44 @@ def to_model_pixels(image: np.ndarray) -> jax.Array:
     if arr.ndim == 3:
         arr = arr[None]
     return jnp.asarray(arr, jnp.float32) / 127.5 - 1.0
+
+
+def load_512(image, left=0, right=0, top=0, bottom=0, size=512) -> np.ndarray:
+    """Reference `load_512` twin (`utils/generation.py:546-566`): load an
+    image (path, PIL image, or HWC array), apply optional edge-crop
+    offsets plus a center square crop, and resize to (size, size) uint8
+    RGB.
+
+    The reference snapshot ships the offset/center-crop block commented
+    out (`generation.py:547-562`), so with default offsets this matches
+    its active behaviour exactly (plain resize). Nonzero offsets
+    implement the canonical prompt-to-prompt semantics that the comment
+    preserves, with the same clamping rules.
+    """
+    from PIL import Image
+
+    if isinstance(image, str):
+        arr = np.array(Image.open(image).convert("RGB"))[:, :, :3]
+    elif Image is not None and isinstance(image, Image.Image):
+        arr = np.array(image.convert("RGB"))[:, :, :3]
+    else:
+        arr = np.asarray(image)[:, :, :3]
+    if left or right or top or bottom:
+        h, w, _ = arr.shape
+        left = min(left, w - 1)
+        right = min(right, w - left - 1)
+        top = min(top, h - left - 1)  # reference clamps top against LEFT
+        bottom = min(bottom, h - top - 1)
+        arr = arr[top:h - bottom, left:w - right]
+        h, w, _ = arr.shape
+        if h < w:
+            offset = (w - h) // 2
+            arr = arr[:, offset:offset + h]
+        elif w < h:
+            offset = (h - w) // 2
+            arr = arr[offset:offset + w]
+    out = Image.fromarray(arr.astype(np.uint8)).resize((size, size), Image.BICUBIC)
+    return np.array(out)
 
 
 def to_uint8(images: jax.Array) -> np.ndarray:

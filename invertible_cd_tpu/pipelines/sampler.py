@@ -159,9 +159,13 @@ def cons_generation(
     hook_factory: Optional[AttnHookFactory] = None,
     step_callback: Optional[StepCallback] = None,
     context_amplify: Optional[jax.Array] = None,
+    return_all: bool = False,
 ) -> jax.Array:
     """Multi-boundary reverse CD: noise -> image in 3-4 hops
     (reference `Generator.cons_generation`, `utils/generation.py:373-412`).
+    `return_all=True` returns the whole (n_hops+1, B, H, W, C) trajectory
+    (the reference's `all_latent` list, `generation.py:382,410`) — row i is
+    the INPUT of hop i, which int8 calibration and debugging need.
 
     The (t, s) pairs come from `grid` (static), so this unrolls into a
     single fused XLA program — 4 UNet calls, no host round-trips.
@@ -173,6 +177,7 @@ def cons_generation(
     reconstruct and later hops steer. The grid is static, so the swap
     folds at trace time — no runtime branch.
     """
+    trajectory = [latent]
     for i, (t, s) in enumerate(
         zip(grid.reverse_timesteps.tolist(), grid.reverse_boundaries.tolist())
     ):
@@ -196,6 +201,10 @@ def cons_generation(
         )
         if step_callback is not None:
             latent = step_callback(latent, i)
+        if return_all:
+            trajectory.append(latent)
+    if return_all:
+        return jnp.stack(trajectory, axis=0)
     return latent
 
 
@@ -208,9 +217,13 @@ def cons_inversion(
     grid: SolverGrid,
     schedule: NoiseSchedule,
     g: GuidanceConfig,
+    return_all: bool = False,
 ) -> jax.Array:
     """Forward CD: clean latent -> noise in 3-4 hops
     (reference `Generator.cons_inversion`, `utils/generation.py:414-449`).
+    `return_all=True` returns the (n_hops+1, B, H, W, C) trajectory; row i
+    is the INPUT of forward hop i (row 0 is the start-timestep-noised
+    latent).
 
     The caller supplies `noise` for the start-timestep perturbation (the
     reference draws it from a seeded CPU generator, `generation.py:425-427`;
@@ -220,6 +233,7 @@ def cons_inversion(
     latent = add_noise(
         schedule, latent, noise, jnp.full((latent.shape[0],), grid.start_timestep)
     )
+    trajectory = [latent]
     for t, s in zip(
         grid.forward_timesteps.tolist(), grid.forward_boundaries.tolist()
     ):
@@ -234,6 +248,10 @@ def cons_inversion(
             schedule.sqrt_alphas_cumprod,
             schedule.sqrt_one_minus_alphas_cumprod,
         )
+        if return_all:
+            trajectory.append(latent)
+    if return_all:
+        return jnp.stack(trajectory, axis=0)
     return latent
 
 

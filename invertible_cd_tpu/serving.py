@@ -51,7 +51,13 @@ class BatchingExecutor:
 
     Args:
       pipe: an InvertibleCD / InvertibleCDXL bundle.
-      batch_size: the one static batch the program compiles at.
+      batch_size: the largest static batch the program compiles at.
+      batch_sizes: optional FULL program set, e.g. (1, 4, 8): the worker
+        dispatches each coalesced batch at the smallest compiled size
+        that fits it, so a lone low-traffic request pays a batch-1
+        program instead of 7 padded slots. Exactly len(batch_sizes)
+        programs ever compile (still zero steady-state retraces).
+        Defaults to (batch_size,) — the single-program executor.
       max_delay: seconds the worker waits for more requests after the
         first of a batch arrives (latency/throughput knob).
       guidance: optional GuidanceConfig shared by every request (one
@@ -68,11 +74,15 @@ class BatchingExecutor:
         guidance=None,
         model: str = "reverse",
         mesh=None,
+        batch_sizes: Optional[Sequence[int]] = None,
     ):
         if batch_size < 1:
             raise ValueError("batch_size must be >= 1")
         self.pipe = pipe
-        self.batch_size = batch_size
+        self.batch_sizes = tuple(sorted(set(batch_sizes or (batch_size,))))
+        if any(b < 1 for b in self.batch_sizes):
+            raise ValueError("batch_sizes must all be >= 1")
+        self.batch_size = self.batch_sizes[-1]
         self.max_delay = max_delay
         self.guidance = guidance or pipe.default_guidance()
         self.model = model
@@ -86,13 +96,16 @@ class BatchingExecutor:
             # batch_sharding shards the leading axis over "dp" ONLY
             # (fsdp shards params, not the batch) — validate against that
             dp = int(mesh.shape.get("dp", 1))
-            if dp > 1 and batch_size % dp != 0:
+            bad = [b for b in self.batch_sizes if dp > 1 and b % dp != 0]
+            if bad:
                 raise ValueError(
-                    f"batch_size {batch_size} must divide over the mesh's "
+                    f"batch sizes {bad} must divide over the mesh's "
                     f"dp={dp} batch shards"
                 )
         self._queue: queue.Queue = queue.Queue()
-        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+        self._stats = {
+            "requests": 0, "batches": 0, "padded_slots": 0, "expired": 0,
+        }
         self._stats_lock = threading.Lock()
         self._shutdown = threading.Event()
         # serializes submit()'s check-then-put against shutdown()'s
@@ -105,20 +118,31 @@ class BatchingExecutor:
         self._worker.start()
 
     # ------------------------------------------------------------------
-    def submit(self, prompt: str, seed: Optional[int] = None) -> Future:
+    def submit(
+        self, prompt: str, seed: Optional[int] = None,
+        timeout: Optional[float] = None,
+    ) -> Future:
         """Enqueue one request; the Future resolves to an (H, W, 3)
         float32 [0, 1] numpy image.
+
+        `timeout` (seconds) bounds the time a request may wait for
+        DISPATCH: if the worker picks it up after the deadline (deep
+        queue, slow device), its future fails with TimeoutError instead
+        of occupying a batch slot — the client has given up; don't spend
+        chip time on it. A request that makes it into a batch before the
+        deadline completes normally.
 
         Raises ValueError for an out-of-range seed HERE rather than
         letting PRNGKey blow up in the worker — one bad request must not
         poison the whole coalesced batch."""
         if seed is not None and not (-(2**63) <= seed < 2**63):
             raise ValueError("seed must fit in int64")
+        deadline = None if timeout is None else time.monotonic() + timeout
         with self._submit_lock:
             if self._shutdown.is_set():
                 raise RuntimeError("executor is shut down")
             fut: Future = Future()
-            self._queue.put((prompt, seed, fut))
+            self._queue.put((prompt, seed, fut, deadline))
         with self._stats_lock:
             self._stats["requests"] += 1
         return fut
@@ -156,7 +180,7 @@ class BatchingExecutor:
             if item is None:
                 drained_sentinel = True
             else:
-                _, _, fut = item
+                fut = item[2]
                 if not fut.done():
                     fut.set_exception(RuntimeError("executor is shut down"))
         if drained_sentinel and self._worker.is_alive():
@@ -214,13 +238,35 @@ class BatchingExecutor:
             batch = self._collect()
             if batch is None:
                 break
-            prompts = [p for p, _, _ in batch]
+            # expire requests whose dispatch deadline passed while queued
+            # (and skip client-cancelled futures) before they cost a slot
+            now = time.monotonic()
+            live = []
+            for item in batch:
+                _, _, fut, deadline = item
+                if fut.cancelled():
+                    continue
+                if deadline is not None and now > deadline:
+                    fut.set_exception(
+                        TimeoutError("request expired before dispatch")
+                    )
+                    with self._stats_lock:
+                        self._stats["expired"] += 1
+                    continue
+                live.append(item)
+            if not live:
+                continue
+            batch = live
+            prompts = [p for p, _, _, _ in batch]
             seeds = [
                 s if s is not None else int(rng.integers(0, 2**31 - 1))
-                for _, s, _ in batch
+                for _, s, _, _ in batch
             ]
             n = len(batch)
-            pad = self.batch_size - n
+            # smallest compiled program that fits — low-traffic batches
+            # skip most of the padding (and its FLOPs)
+            size = next(b for b in self.batch_sizes if b >= n)
+            pad = size - n
             if pad:
                 prompts = prompts + [prompts[-1]] * pad
                 seeds = seeds + [seeds[-1]] * pad
@@ -237,13 +283,16 @@ class BatchingExecutor:
                         model=self.model,
                     )
                 images = np.asarray(images[:n])
-                for (_, _, fut), img in zip(batch, images):
+                for (_, _, fut, _), img in zip(batch, images):
                     if not fut.done():  # client may have cancel()ed
                         fut.set_result(img)
             except Exception as e:  # noqa: BLE001 — futures carry the error
-                for _, _, fut in batch:
+                for _, _, fut, _ in batch:
                     if not fut.done():
                         fut.set_exception(e)
             with self._stats_lock:
                 self._stats["batches"] += 1
                 self._stats["padded_slots"] += pad
+                self._stats[f"batches_b{size}"] = (
+                    self._stats.get(f"batches_b{size}", 0) + 1
+                )

@@ -2,6 +2,11 @@
 used ONLY as a differential-test oracle (like tests/_torch_train_ref.py for
 the losses). NOT shipped code.
 
+Provenance / license: portions transcribed from yandex-research/invertible-cd
+(`utils/p2p.py`), which is distributed under the Apache License 2.0 (see the
+reference's LICENSE); this test-only oracle retains that license for the
+transcribed portions.
+
 Transcribed semantics (cited against /root/reference/utils/p2p.py):
   LocalBlend                 p2p.py:18-70
   AttentionControl.__call__  p2p.py:85-122  (CFG convention: attn[h//2:])

@@ -194,3 +194,47 @@ class TestSpatialReplace:
             controller=(spec, arrays),
         )
         assert not np.allclose(np.asarray(lat[0]), np.asarray(lat[1]), atol=1e-5)
+
+
+class TestLoad512:
+    """`load_512` twin of reference `utils/generation.py:546-566`."""
+
+    def test_default_is_plain_resize(self, tmp_path):
+        from PIL import Image
+
+        from invertible_cd_tpu.pipelines import load_512
+
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 255, (300, 400, 3), np.uint8)
+        p = str(tmp_path / "img.png")
+        Image.fromarray(arr).save(p)
+        out = load_512(p)
+        want = np.array(
+            Image.fromarray(arr).resize((512, 512), Image.BICUBIC)
+        )
+        assert out.shape == (512, 512, 3) and out.dtype == np.uint8
+        np.testing.assert_array_equal(out, want)
+
+    def test_offsets_crop_then_center_square(self):
+        from PIL import Image
+
+        from invertible_cd_tpu.pipelines import load_512
+
+        rng = np.random.default_rng(1)
+        arr = rng.integers(0, 255, (200, 320, 3), np.uint8)
+        out = load_512(arr, left=10, right=20, top=4, bottom=6, size=64)
+        # reference clamping + crop: [4:194, 10:300] -> 190x290 -> center
+        # square (offset (290-190)//2 = 50) -> 190x190
+        cropped = arr[4:194, 10:300]
+        cropped = cropped[:, 50:240]
+        want = np.array(
+            Image.fromarray(cropped).resize((64, 64), Image.BICUBIC)
+        )
+        np.testing.assert_array_equal(out, want)
+
+    def test_accepts_array_and_size(self):
+        from invertible_cd_tpu.pipelines import load_512
+
+        arr = np.zeros((100, 100, 4), np.uint8)  # RGBA-like extra channel
+        out = load_512(arr, size=128)
+        assert out.shape == (128, 128, 3)

@@ -189,3 +189,62 @@ class TestHTTPServer:
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(req, timeout=60)
         assert err.value.code == 400
+
+
+class TestMultiSizePrograms:
+    """batch_sizes=(1, N): low-traffic requests ride the small program
+    (VERDICT r3 item 8 — a second compiled batch size)."""
+
+    def test_single_request_uses_small_program(self, served_pipe):
+        with BatchingExecutor(
+            served_pipe, batch_sizes=(1, 4), max_delay=0.05
+        ) as ex:
+            img = ex.generate("a red fox", seed=11)
+            stats = ex.stats()
+        assert stats["batches_b1"] == 1
+        assert stats["padded_slots"] == 0
+        # output identical to the batch-4 program's row 0 (batch
+        # invariance ACROSS program sizes)
+        latent = BatchingExecutor._latents(
+            type("E", (), {"pipe": served_pipe, "mesh": None})(), [11] * 4
+        )
+        ref, _ = served_pipe.generate(
+            ["a red fox"] * 4, latent=latent,
+            guidance=served_pipe.default_guidance(),
+        )
+        np.testing.assert_allclose(img, np.asarray(ref[0]), atol=2e-2)
+
+    def test_burst_uses_large_program(self, served_pipe):
+        with BatchingExecutor(
+            served_pipe, batch_sizes=(1, 4), max_delay=0.5
+        ) as ex:
+            futs = [ex.submit(f"prompt {i}", seed=i) for i in range(4)]
+            for f in futs:
+                f.result()
+            stats = ex.stats()
+        assert stats.get("batches_b4", 0) >= 1
+
+    def test_invalid_sizes_rejected(self, served_pipe):
+        with pytest.raises(ValueError):
+            BatchingExecutor(served_pipe, batch_sizes=(0, 4))
+
+
+class TestRequestTimeout:
+    def test_expired_request_fails_with_timeout(self, served_pipe):
+        """A request whose dispatch deadline passed while queued must get
+        TimeoutError, not chip time."""
+        with BatchingExecutor(served_pipe, batch_size=2, max_delay=0.01) as ex:
+            # occupy the worker, then enqueue an already-expired request
+            first = ex.submit("warm", seed=0)
+            expired = ex.submit("too late", seed=1, timeout=-1.0)
+            first.result()
+            with pytest.raises(TimeoutError):
+                expired.result(timeout=30)
+            # live requests still work afterwards
+            assert ex.generate("after", seed=2).shape[-1] == 3
+            assert ex.stats()["expired"] == 1
+
+    def test_untimed_requests_never_expire(self, served_pipe):
+        with BatchingExecutor(served_pipe, batch_size=2, max_delay=0.01) as ex:
+            out = ex.generate("no deadline", seed=3)
+        assert out.shape[-1] == 3

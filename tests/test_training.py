@@ -128,6 +128,91 @@ class TestResumeOnMesh:
         assert np.isfinite(float(metrics["reverse_total_loss"]))
         assert int(new_state.step) == 1
 
+    def test_cross_mesh_restore(self, setup, tmp_path):
+        """The multi-pod operational path (reference analog
+        `train_icd_sd15_lora.py:828-857`): a checkpoint saved under one
+        mesh shape must restore bit-identically under another — dp4
+        (replicated params) -> dp2xfsdp2 (genuinely fsdp-sharded leaves)
+        and back — and the round-tripped state must take a finite step."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from invertible_cd_tpu.parallel import replicated
+        from invertible_cd_tpu.parallel.mesh import param_sharding
+        from invertible_cd_tpu.training.checkpoint import (
+            restore_checkpoint, save_checkpoint,
+        )
+
+        unet, cfg, base, schedule, solver, tcfg, mesh, fresh_state, step = setup
+        devs = jax.devices()[:4]
+        mesh_a = make_mesh(dp=4, devices=devs)
+        mesh_b = make_mesh(dp=2, fsdp=2, devices=devs)
+
+        def put(state, target_mesh, min_size=None):
+            if min_size is None:
+                return jax.tree.map(
+                    lambda x: jax.device_put(x, replicated(target_mesh)), state
+                )
+            sh = param_sharding(
+                jax.tree.map(lambda x: x, state), target_mesh, min_size=min_size
+            )
+            return jax.tree.map(jax.device_put, state, sh)
+
+        st = put(fresh_state(21), mesh_a)  # dp4, replicated (DDP semantics)
+        d = str(tmp_path / "xmesh")
+        save_checkpoint(d, st, keep=1)
+
+        # restore onto dp2xfsdp2 with real fsdp sharding of the adapters
+        template = put(
+            init_train_state(jax.random.PRNGKey(22), base, tcfg),
+            mesh_b, min_size=64,
+        )
+        restored_b = restore_checkpoint(d, template)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            _as_tree(st), _as_tree(restored_b),
+        )
+        # at least one adapter leaf must actually be split over fsdp
+        fsdp_split = [
+            v for v in jax.tree.leaves(restored_b.lora_reverse)
+            if isinstance(v.sharding, NamedSharding)
+            and v.sharding.mesh.shape.get("fsdp", 1) == 2
+            and not v.sharding.is_fully_replicated
+        ]
+        assert fsdp_split, "no lora leaf came back fsdp-sharded"
+
+        # reverse direction: save the fsdp-sharded state, restore onto the
+        # session mesh replicated, and take a step with the shared program
+        d2 = str(tmp_path / "xmesh2")
+        save_checkpoint(d2, restored_b, keep=1)
+        back = restore_checkpoint(
+            d2, init_train_state(jax.random.PRNGKey(23), base, tcfg)
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            _as_tree(st), _as_tree(back),
+        )
+        back = jax.tree.map(
+            lambda x: jax.device_put(x, replicated(mesh)), back
+        )
+        batch = shard_batch(make_batch(cfg, b=8, seed=8), mesh)
+        new_state, metrics = step(back, base, base, batch, jax.random.PRNGKey(8))
+        assert np.isfinite(float(metrics["reverse_total_loss"]))
+        assert int(new_state.step) == 1
+
+
+def _as_tree(state):
+    return {
+        "step": state.step,
+        "lora_reverse": state.lora_reverse,
+        "lora_forward": state.lora_forward,
+        "opt_reverse": state.opt_reverse,
+        "opt_forward": state.opt_forward,
+    }
+
 
 class TestSplitStep:
     def test_split_matches_fused(self, setup):
