@@ -15,20 +15,36 @@ When both are present this is the LPIPS <= 0.05 north-star gate
 are still covered weights-free by tests/test_unet_vae_parity.py.
 """
 import os
+import sys
 
 import numpy as np
 import pytest
 
+_GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 PACK = os.environ.get(
-    "ICD_TPU_REFERENCE_PACK",
-    os.path.join(os.path.dirname(__file__), "golden", "reference_pack.npz"),
+    "ICD_TPU_REFERENCE_PACK", os.path.join(_GOLDEN, "reference_pack.npz")
 )
 WEIGHTS = os.environ.get("ICD_TPU_SD15_DIR", "")
+_SYNTH = False
+if not (os.path.exists(PACK) and os.path.isdir(WEIGHTS)):
+    # Fall back to the SYNTHETIC full-shape pack (VERDICT r3 item 1):
+    # same 860M architecture and replay path, deterministic random
+    # weights recorded by tools/make_synthetic_pack.py. The weights dir
+    # (3.4 GB) is not committed — it regenerates in ~1 min inside the
+    # module fixture below, purely from numpy's seeded PCG64 stream.
+    _synth_pack = os.path.join(_GOLDEN, "synth_pack_sd15.npz")
+    if os.path.exists(_synth_pack):
+        PACK = _synth_pack
+        WEIGHTS = os.path.join(_GOLDEN, "synth_sd15")
+        _SYNTH = True
 
-pytestmark = pytest.mark.skipif(
-    not (os.path.exists(PACK) and os.path.isdir(WEIGHTS)),
-    reason="reference pack / real weights not available (zero-egress container)",
-)
+pytestmark = [
+    pytest.mark.slow,  # full 860M shapes on the CPU test backend
+    pytest.mark.skipif(
+        not (os.path.exists(PACK) and (_SYNTH or os.path.isdir(WEIGHTS))),
+        reason="no reference pack (real or synthetic) available",
+    ),
+]
 
 
 def _find(name):
@@ -50,6 +66,12 @@ def pipe():
 
     from invertible_cd_tpu.pipelines.loading import load_bundle_params
     from invertible_cd_tpu.pipelines.pipeline import InvertibleCD
+
+    if _SYNTH:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from make_synthetic_pack import ensure_weights
+
+        ensure_weights(WEIGHTS)
 
     p = InvertibleCD.sd15(dtype=jnp.float32)
     p.params = load_bundle_params(
@@ -150,17 +172,25 @@ def test_generation_trajectory_parity(pack, pipe):
         ["a photo of a corgi on the beach"], latent=latent, guidance=g
     )
     want = _nhwc(pack[f"gen/latents_{len([k for k in pack if k.startswith('gen/latents')]) - 1}"])
+    # scale-aware gate: real-weight latents are ~3-5 in magnitude (0.1 abs
+    # ~ 2% rel); synthetic random-weight trajectories legitimately reach
+    # ~70 because each consistency hop multiplies by alpha_s/alpha_t
     err = np.abs(np.asarray(final) - want).max()
-    assert err < 0.1, f"final latent divergence {err}"
+    tol = max(0.1, 2e-3 * float(np.abs(want).max()))
+    assert err < tol, f"final latent divergence {err} (tol {tol})"
 
 
 def test_inversion_parity_and_lpips_north_star(pack, pipe):
     import jax.numpy as jnp
 
-    pixels01 = _nhwc(pack["inputs/pixels"]) * 0.5 + 0.5
+    pixels01 = _nhwc(pack["inputs/pixels"]).astype(np.float32) * 0.5 + 0.5
     image = (pixels01[0] * 255).astype(np.uint8)
+    # inversion runs under the SOURCE prompt (reference edit.py:369-390;
+    # the recorder's init_prompt state) — prompt="" would be a different
+    # cross-attention context
     inv, clean = pipe.invert(
-        image, noise=jnp.asarray(_nhwc(pack["inv/noise"]))
+        image, str(pack.get("edit/source", "a photo of a corgi on the beach")),
+        noise=jnp.asarray(_nhwc(pack["inv/noise"])),
     )
     err = np.abs(np.asarray(inv) - _nhwc(pack["inv/latents_final"])).max()
     assert err < 0.1, f"inversion latent divergence {err}"
@@ -222,7 +252,8 @@ def test_edit_trajectory_parity(pack, pipe):
     n_hops = len([k for k in pack if k.startswith("edit/latents")])
     want = _nhwc(pack[f"edit/latents_{n_hops - 1}"])
     err = np.abs(np.asarray(final) - want).max()
-    assert err < 0.1, f"edited latent divergence {err}"
+    tol = max(0.1, 2e-3 * float(np.abs(want).max()))
+    assert err < tol, f"edited latent divergence {err} (tol {tol})"
 
     # controller-modified attention, step 0, first 16^2 down cross layer:
     # ours is store['down_cross'][2] (call order 1024,1024,256,256 per
