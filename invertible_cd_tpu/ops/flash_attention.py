@@ -619,8 +619,30 @@ def flash_attention_bhsd(
         block_q = block_q or 256
         block_k = block_k or 512
     op = _flash_op_streamed if streamed else _flash_op
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+
+    # Blocks must DIVIDE the sequence on real hardware: the masked-tail
+    # branches below pass interpret mode, but Mosaic rejects their
+    # unaligned tile loads when compiling for the chip (seen at SDXL
+    # 96x96-latent training: sk=2304 with block 1024 -> vector.load of a
+    # misaligned tile). Fit each block to the largest power-of-two
+    # divisor <= the preferred size...
+    def _fit(pref: int, s: int) -> int:
+        b = min(pref, s)
+        while b > 1 and s % b:
+            b //= 2
+        return b
+
+    block_q = _fit(block_q, sq)
+    block_k = _fit(block_k, sk)
+    if block_q < 128 or block_k < 128:
+        # ...and when no MXU-friendly divisor exists (e.g. s=576), hand
+        # the shape to XLA's fused attention instead of running the
+        # kernel at a tiny block size.
+        logits = jnp.einsum(
+            "bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bqk,bkd->bqd", probs, v)
     if d != d_pad:
         pad = ((0, 0), (0, 0), (0, d_pad - d))
         q = jnp.pad(q, pad)
