@@ -152,6 +152,12 @@ def parse_args(argv=None):
     p.add_argument("--bf16_params", action="store_true",
                    help="store base/teacher params in bf16 (halves HBM; "
                         "LoRA adapters and optimizer stay fp32)")
+    p.add_argument("--lazy_lora", action="store_true",
+                   help="apply adapters lazily per layer instead of "
+                        "materialising merged parameter copies in the step "
+                        "(identical numerics; saves a full parameter set "
+                        "per student + the merge's full-size kernel "
+                        "cotangents — fits full SDXL on one 16 GB chip)")
     p.add_argument("--bf16_moments", action="store_true",
                    help="store Adam's first moment in bf16 (both students' "
                         "r=64 LoRA opt states are ~6 GB fp32 — needed to "
@@ -588,6 +594,7 @@ def main(argv=None):
         learning_rate=args.learning_rate,
         lora_rank=args.lora_rank,
         remat=args.remat,
+        lazy_lora=args.lazy_lora,
         bf16_moments=args.bf16_moments,
         discrete_w=tuple(float(w) for w in args.discrete_w.split(",")) or None,
         use_forward_preserve=not args.no_forward_preserve,

@@ -29,7 +29,7 @@ import optax
 
 from ..diffusion.schedule import NoiseSchedule
 from ..diffusion.solver import TrainSolver
-from ..models.lora import init_lora, merge_lora
+from ..models.lora import apply_with_lora, init_lora, merge_lora
 from . import losses as L
 
 
@@ -63,6 +63,13 @@ class TrainConfig:
     # difference between resident and thrashing; multi-chip runs shard
     # the state (fsdp) and can keep fp32.
     bf16_moments: bool = False
+    # Apply adapters lazily per layer (models/lora.py apply_with_lora)
+    # instead of materialising merged parameter copies inside the step.
+    # Output-identical (linearity); saves one full parameter set per
+    # live student AND the full-size kernel cotangents the merge's
+    # backward otherwise materialises — the lever that fits full-depth
+    # SDXL training on a single 16 GB chip.
+    lazy_lora: bool = False
     loss: L.LossConfig = dataclasses.field(default_factory=L.LossConfig)
 
 
@@ -172,13 +179,21 @@ def make_train_step(
         wrap = (lambda t: {"params": t}) if "params" in base else (lambda t: t)
 
         def student_apply_factory(lora):
-            merged = wrap(
-                merge_lora(inner_base, lora, alpha=cfg.lora_alpha, rank=cfg.lora_rank)
-            )
-            def apply(x, t, w_emb, ctx=context):
-                return unet.apply(
-                    merged, x, t, ctx, w_cond=w_emb, added_cond=added
+            if cfg.lazy_lora:
+                def apply(x, t, w_emb, ctx=context):
+                    return apply_with_lora(
+                        unet, wrap(inner_base), lora, x, t, ctx,
+                        w_cond=w_emb, added_cond=added,
+                        alpha=cfg.lora_alpha, rank=cfg.lora_rank,
+                    )
+            else:
+                merged = wrap(
+                    merge_lora(inner_base, lora, alpha=cfg.lora_alpha, rank=cfg.lora_rank)
                 )
+                def apply(x, t, w_emb, ctx=context):
+                    return unet.apply(
+                        merged, x, t, ctx, w_cond=w_emb, added_cond=added
+                    )
             if cfg.remat:
                 apply = jax.checkpoint(apply)
             return apply

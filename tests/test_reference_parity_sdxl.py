@@ -21,20 +21,35 @@ generation_sdxl.py:324-473), forward-CD inversion at guidance 0
 LPIPS <= 0.05 north-star gate.
 """
 import os
+import sys
 
 import numpy as np
 import pytest
 
+_GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 PACK = os.environ.get(
     "ICD_TPU_REFERENCE_PACK_XL",
-    os.path.join(os.path.dirname(__file__), "golden", "reference_pack_xl.npz"),
+    os.path.join(_GOLDEN, "reference_pack_xl.npz"),
 )
 WEIGHTS = os.environ.get("ICD_TPU_SDXL_DIR", "")
+_SYNTH = False
+if not (os.path.exists(PACK) and os.path.isdir(WEIGHTS)):
+    # Synthetic full-architecture fallback (VERDICT r3 item 1): pack from
+    # tools/make_synthetic_pack_sdxl.py (committed), weights regenerated
+    # deterministically in the module fixture (~14 GB, not committed).
+    _synth_pack = os.path.join(_GOLDEN, "synth_pack_sdxl.npz")
+    if os.path.exists(_synth_pack):
+        PACK = _synth_pack
+        WEIGHTS = os.path.join(_GOLDEN, "synth_sdxl")
+        _SYNTH = True
 
-pytestmark = pytest.mark.skipif(
-    not (os.path.exists(PACK) and os.path.isdir(WEIGHTS)),
-    reason="SDXL reference pack / real weights not available (zero-egress)",
-)
+pytestmark = [
+    pytest.mark.slow,  # full 2.6B-parameter shapes on the CPU test backend
+    pytest.mark.skipif(
+        not (os.path.exists(PACK) and (_SYNTH or os.path.isdir(WEIGHTS))),
+        reason="no SDXL reference pack (real or synthetic) available",
+    ),
+]
 
 
 def _find(name):
@@ -67,6 +82,12 @@ def pipe(pack):
     )
     from invertible_cd_tpu.pipelines.loading import load_bundle_params
     from invertible_cd_tpu.pipelines.sdxl import InvertibleCDXL
+
+    if _SYNTH:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from make_synthetic_pack_sdxl import ensure_weights_sdxl
+
+        ensure_weights_sdxl(WEIGHTS)
 
     p = InvertibleCDXL.sdxl(dtype=jnp.float32)
     p.params = load_bundle_params(
@@ -195,8 +216,12 @@ def test_generation_trajectory_parity(pack, pipe):
     _, final = pipe.generate(
         [str(pack["edit/source"])], latent=latent, guidance=g
     )
-    err = np.abs(np.asarray(final) - _nhwc(pack["gen/latents_final"])).max()
-    assert err < 0.1, f"SDXL generation final-latent divergence {err}"
+    want = _nhwc(pack["gen/latents_final"])
+    err = np.abs(np.asarray(final) - want).max()
+    # scale-aware: synthetic random-weight trajectories reach larger
+    # magnitudes than real ones (each hop multiplies by alpha_s/alpha_t)
+    tol = max(0.1, 2e-3 * float(np.abs(want).max()))
+    assert err < tol, f"SDXL generation final-latent divergence {err} (tol {tol})"
 
 
 def _derived_start_noise(pack, pipe):
@@ -230,8 +255,10 @@ def test_inversion_parity(pack, pipe):
         pack["inputs/image_u8"], str(pack["edit/source"]),
         noise=jnp.asarray(noise),
     )
-    err = np.abs(np.asarray(inv) - _nhwc(pack["inv/latents_final"])).max()
-    assert err < 0.1, f"SDXL inversion final-latent divergence {err}"
+    want = _nhwc(pack["inv/latents_final"])
+    err = np.abs(np.asarray(inv) - want).max()
+    tol = max(0.1, 2e-3 * float(np.abs(want).max()))
+    assert err < tol, f"SDXL inversion final-latent divergence {err} (tol {tol})"
 
 
 def test_amplify_edit_parity_and_lpips(pack, pipe):
@@ -251,8 +278,10 @@ def test_amplify_edit_parity_and_lpips(pack, pipe):
     images, final = pipe.generate(
         [tgt], latent=latent, guidance=g, amplify_prompt=[src]
     )
-    err = np.abs(np.asarray(final) - _nhwc(pack["edit/latents_final"])).max()
-    assert err < 0.1, f"SDXL edited-latent divergence {err}"
+    want = _nhwc(pack["edit/latents_final"])
+    err = np.abs(np.asarray(final) - want).max()
+    tol = max(0.1, 2e-3 * float(np.abs(want).max()))
+    assert err < tol, f"SDXL edited-latent divergence {err} (tol {tol})"
 
     lpips_w = _find("lpips_vgg"), _find("lpips_lin")
     if all(lpips_w):

@@ -305,3 +305,49 @@ def test_train_cli_inversion_eval_cadence(tmp_path):
     assert "inversion_panel_latent_mse" in keys
     # the reverse-student validation panels also ran on the same cadence
     assert "validation_image_std" in keys
+
+
+class TestLazyLora:
+    def test_lazy_step_matches_merged_step(self, setup):
+        """lazy_lora=True must reproduce the merged-parameter step exactly
+        (linearity of dense/conv): same metrics, same updated adapters —
+        from a state whose adapters are NON-zero so the low-rank path
+        actually contributes."""
+        import dataclasses
+
+        unet, cfg, base, schedule, solver, tcfg, mesh, fresh_state, step = setup
+
+        def bumped():
+            # fresh buffers each time: the train step donates its state
+            st = fresh_state(31)
+            bump = jax.tree.map(
+                lambda v: v + 0.03 * jax.random.normal(
+                    jax.random.PRNGKey(32), v.shape, v.dtype
+                ),
+                {"r": st.lora_reverse, "f": st.lora_forward},
+            )
+            return dataclasses.replace(
+                st, lora_reverse=bump["r"], lora_forward=bump["f"]
+            )
+
+        st = bumped()
+        st2 = bumped()
+
+        lazy_step = make_train_step(
+            unet, base, base, solver, schedule,
+            dataclasses.replace(tcfg, lazy_lora=True),
+        )
+        batch = shard_batch(make_batch(cfg, b=8, seed=33), mesh)
+        s_merged, m_merged = step(st, base, base, batch, jax.random.PRNGKey(34))
+        s_lazy, m_lazy = lazy_step(st2, base, base, batch, jax.random.PRNGKey(34))
+        for k in m_merged:
+            a, b_ = float(m_merged[k]), float(m_lazy[k])
+            assert abs(a - b_) < 5e-4 + 5e-4 * abs(a), (k, a, b_)
+        worst = max(
+            float(jnp.abs(a - b_).max())
+            for a, b_ in zip(
+                jax.tree.leaves(s_merged.lora_reverse),
+                jax.tree.leaves(s_lazy.lora_reverse),
+            )
+        )
+        assert worst < 5e-5, worst

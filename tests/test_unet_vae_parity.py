@@ -340,3 +340,89 @@ def test_full_vae_parity():
     _assert_close(logvar, want_logvar, atol=1e-4, rtol=1e-3)
     dec = vae.apply(params, mean, method=vae.decode)
     _assert_close(dec, want_dec, atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# full SD1.5 shapes (VERDICT r3 item 1): the COMPLETE 860M UNet and the
+# full-width VAE through the real converters vs the torch oracle. Slow on
+# the 1-core CPU backend (~minutes per model) — marked accordingly.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_full_unet_parity_sd15_fullshape():
+    """860M-parameter SD1.5 UNet at 64x64 latents (the real deployment
+    graph, reference `utils/loading.py:46-58`): synthetic deterministic
+    weights -> convert_unet_from_diffusers -> Flax full graph must match
+    the torch oracle end-to-end in fp32."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_synthetic_pack import _fill_module
+
+    from invertible_cd_tpu.models import UNet2DCondition, UNetConfig
+
+    cfg = UNetConfig.sd15()
+    tm = TorchUNet(cfg).eval()
+    _fill_module(tm, "unet")  # same weights the synthetic parity pack uses
+
+    x = _randn(1, 64, 64, 4)
+    t = np.array([999], np.int64)
+    ctx = _randn(1, 77, cfg.cross_attention_dim)
+    w = _randn(1, cfg.time_cond_proj_dim)
+    with torch.no_grad():
+        want = _to_nhwc(
+            tm(_nchw(x), torch.tensor(t), torch.tensor(ctx), torch.tensor(w))
+        )
+
+    params = convert_unet_from_diffusers(_sd(tm))
+    del tm
+    unet = UNet2DCondition(cfg)
+    _check_same_structure(
+        params["params"],
+        jax.eval_shape(
+            lambda: unet.init(
+                jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t),
+                jnp.asarray(ctx), jnp.asarray(w),
+            )
+        )["params"],
+    )
+    got = unet.apply(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), jnp.asarray(w)
+    )
+    err = np.abs(np.asarray(got) - want).max()
+    assert err < 3e-4, f"full-shape UNet max abs divergence {err}"
+
+
+@pytest.mark.slow
+def test_full_vae_parity_fullshape():
+    """Full-width SD VAE (128/256/512/512 channels, reference
+    `utils/loading.py:27-45` via diffusers AutoencoderKL) at 256^2 pixels;
+    the full 512^2 path is exercised by the parity-pack replay
+    (tests/test_reference_parity.py::test_vae_parity)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_synthetic_pack import _fill_module
+
+    from invertible_cd_tpu.models import AutoencoderKL, VAEConfig
+
+    cfg = VAEConfig.sd()
+    tm = TorchVAE(cfg).eval()
+    _fill_module(tm, "vae")
+
+    pixels = _randn(1, 256, 256, 3)
+    with torch.no_grad():
+        mean_t, _ = tm.encode_moments(_nchw(pixels))
+        dec_t = tm.decode(mean_t)
+    want_mean, want_dec = _to_nhwc(mean_t), _to_nhwc(dec_t)
+
+    params = convert_vae_from_diffusers(_sd(tm))
+    del tm
+    vae = AutoencoderKL(cfg)
+    mean = vae.apply(params, jnp.asarray(pixels), method=vae.encode_mean)
+    np.testing.assert_allclose(np.asarray(mean), want_mean, atol=3e-4, rtol=1e-3)
+    dec = vae.apply(params, mean, method=vae.decode)
+    np.testing.assert_allclose(np.asarray(dec), want_dec, atol=3e-4, rtol=1e-3)
