@@ -335,7 +335,7 @@ def bench_serve():
     }
 
 
-def bench_train(full_losses=False):
+def bench_train(full_losses=False, lazy_lora=False):
     from invertible_cd_tpu.diffusion.schedule import make_schedule
     from invertible_cd_tpu.diffusion.solver import make_train_solver
     from invertible_cd_tpu.models import UNet2DCondition, UNetConfig
@@ -371,6 +371,7 @@ def bench_train(full_losses=False):
     tcfg = TrainConfig(
         remat=True,
         bf16_moments=True,
+        lazy_lora=lazy_lora,
         use_forward_preserve=full_losses,
         use_reverse_preserve=full_losses,
         loss=LossConfig(),
@@ -410,11 +411,14 @@ def bench_train(full_losses=False):
         for i in range(2, N + 2):
             step(i)
         sps = BATCH * N / (time.perf_counter() - t0)
+    name = (
+        "icd_sd15_train4loss_samples_per_sec" if full_losses
+        else "icd_sd15_train_samples_per_sec"
+    )
+    if lazy_lora:
+        name += "_lazy"
     return {
-        "metric": (
-            "icd_sd15_train4loss_samples_per_sec" if full_losses
-            else "icd_sd15_train_samples_per_sec"
-        ),
+        "metric": name,
         "value": round(sps, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(sps / REF_TRAIN_SAMPLES_PER_SEC, 3),
@@ -468,7 +472,7 @@ def main():
         choices=["all", "gen", "gen_int8", "gen_int8_vae", "latency",
                  "latency_int8", "gen_int8_static", "edit", "edit_sweep",
                  "sdxl", "sdxl_int8", "sdxl_edit", "serve", "train",
-                 "train4"],
+                 "train4", "train_lazy"],
     )
     args = ap.parse_args()
     if args.mode == "all":
@@ -477,6 +481,7 @@ def main():
     result = {
         "gen": bench_gen, "latency": bench_latency, "edit": bench_edit,
         "gen_int8": lambda: bench_gen(quantize="int8"),
+        "train_lazy": lambda: bench_train(lazy_lora=True),
         "gen_int8_vae": lambda: bench_gen(quantize="int8_vae"),
         "gen_int8_static": lambda: bench_gen(quantize="int8_static"),
         "latency_int8": lambda: bench_latency(quantize="int8"),

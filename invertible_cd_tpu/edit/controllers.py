@@ -261,11 +261,15 @@ def edit_attention(
     """Apply the controller to one layer's attention probabilities.
 
     probs: (B, H, Sq, Sk) — cond rows only, row 0 is the base prompt.
-    `step` and `meta` are static, so the branch structure is resolved at
-    trace time (no lax.cond needed).
+    `meta` is static. `step` is either a static python int (unrolled
+    samplers: branch structure resolves at trace time) or a TRACED scalar
+    (the scan-form 50-step DDIM editing loop): then the per-step values
+    become gathers/blends over the step index, so every scan iteration
+    shares one program.
     """
     if spec.kind in ("empty", "store", "spatial_replace"):
         return probs
+    traced_step = not isinstance(step, (int, np.integer))
     base, repl = probs[0], probs[1:]
     if not meta.is_cross and meta.query_len > STORE_MAX_TOKENS:
         # reference replace_self_attention (p2p.py:178-183): >32^2 self
@@ -277,9 +281,13 @@ def edit_attention(
         new = new * alpha + (1.0 - alpha) * repl
         return jnp.concatenate([probs[:1], new.astype(probs.dtype)], axis=0)
     lo, hi = spec.self_replace_range
-    if lo <= step < hi and meta.query_len <= STORE_MAX_TOKENS:
+    if meta.query_len <= STORE_MAX_TOKENS and (traced_step or lo <= step < hi):
         tiled = jnp.broadcast_to(base[None], repl.shape)
-        return jnp.concatenate([probs[:1], tiled], axis=0)
+        if traced_step:
+            # self-replace range as data: 1 inside [lo, hi), 0 outside
+            w = jnp.logical_and(step >= lo, step < hi).astype(probs.dtype)
+            tiled = w * tiled + (1.0 - w) * repl
+        return jnp.concatenate([probs[:1], tiled.astype(probs.dtype)], axis=0)
     return probs
 
 
@@ -327,9 +335,13 @@ def local_blend(
     """Blend edited latents back onto the base outside the edit region.
 
     x_t: (B, H, W, C) NHWC latents; maps16: accumulated 16x16 cross maps,
-    each (B, heads, 256, 77).
+    each (B, heads, 256, 77). `step` may be traced (scan form): the
+    start_blend gate then becomes a jnp.where instead of a python branch.
     """
-    if step + 1 <= spec.start_blend or not maps16:
+    if not maps16:
+        return x_t
+    traced_step = not isinstance(step, (int, np.integer))
+    if not traced_step and step + 1 <= spec.start_blend:
         return x_t
     b = x_t.shape[0]
     stacked = jnp.concatenate(
@@ -344,7 +356,10 @@ def local_blend(
         )
         mask = mask & (~sub)
     maskf = mask.astype(x_t.dtype).transpose(0, 2, 3, 1)  # NHWC broadcast
-    return x_t[:1] + maskf * (x_t - x_t[:1])
+    out = x_t[:1] + maskf * (x_t - x_t[:1])
+    if traced_step and spec.start_blend > 0:
+        out = jnp.where(step + 1 > spec.start_blend, out, x_t)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -390,6 +405,10 @@ class ControllerRuntime:
             if meta.is_cross:
                 return True
             lo, hi = spec.self_replace_range
+            if not isinstance(step, (int, np.integer)):
+                # scan mode: one routing decision serves every step, so a
+                # self layer is "hooked" if ANY step's range covers it
+                return lo < hi and meta.query_len <= STORE_MAX_TOKENS
             return lo <= step < hi and meta.query_len <= STORE_MAX_TOKENS
 
         def hook(probs: jax.Array, meta: AttnMeta) -> jax.Array:
@@ -412,6 +431,39 @@ class ControllerRuntime:
 
         hook.applies = applies
         return hook
+
+    # -- scan form (the 50-step DDIM editing loop) ---------------------------
+    def scan_supported(self) -> bool:
+        """True when every per-step difference can be expressed as data
+        (traced gathers/blends over the step index), so the sampler may
+        compile ONE scan body instead of unrolling N hooked UNet calls.
+        store_all is the exception: it appends per-(step, layer) arrays
+        to a python dict, which has no fixed-shape scan carry."""
+        return not self.spec.store_all
+
+    def scan_step_callback(self, x_t, step, accum):
+        """Traced-step twin of `step_callback` with the LocalBlend map
+        accumulation carried explicitly: `accum` is the stacked
+        (L, B, heads, 256, 77) running sum (from `stacked_step_maps` of
+        the unrolled step 0), updated and returned for the scan carry."""
+        spec = self.spec
+        if spec.kind == "spatial_replace":
+            inject = jnp.broadcast_to(x_t[:1], x_t.shape)
+            x_t = jnp.where(step < spec.spatial_stop_inject, inject, x_t)
+            return x_t, accum
+        if spec.local_blend:
+            accum = accum + self.stacked_step_maps()
+            x_t = local_blend(
+                spec, self.arrays, x_t,
+                [accum[j] for j in range(accum.shape[0])], step,
+            )
+        return x_t, accum
+
+    def stacked_step_maps(self):
+        """This step's 16^2 cross maps as one (L, B, heads, 256, 77) array
+        (resets the per-step list)."""
+        maps, self._step_maps = self._step_maps, []
+        return jnp.stack(maps) if maps else None
 
     # -- latent callback ----------------------------------------------------
     def step_callback(self, x_t: jax.Array, step: int) -> jax.Array:

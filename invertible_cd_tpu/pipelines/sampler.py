@@ -106,6 +106,26 @@ def w_embedding_for(
     return guidance_scale_embedding(jnp.asarray(ws), g.w_embed_dim, dtype=dtype)
 
 
+def _wrap_cond_half(hook):
+    """CFG runs a doubled [uncond; cond] batch; the controller edits the
+    cond half only (the reference's `attn[h//2:]` convention,
+    `utils/p2p.py:98-102`)."""
+    if hook is None:
+        return None
+
+    def cond_half_hook(probs, meta):
+        keep, edit = jnp.split(probs, 2, axis=0)
+        return jnp.concatenate([keep, hook(edit, meta)], axis=0)
+
+    # keep the static identity-layer predicate visible through the
+    # wrapper, or the CFG path (the 50-step DDIM/NTI baselines) would
+    # materialise probabilities on every layer again
+    applies = getattr(hook, "applies", None)
+    if applies is not None:
+        cond_half_hook.applies = applies
+    return cond_half_hook
+
+
 def predict_noise(
     noise_model: NoiseModel,
     latent: jax.Array,
@@ -129,18 +149,7 @@ def predict_noise(
 
     doubled = jnp.concatenate([latent, latent], axis=0)
     ctx = jnp.concatenate([context_uncond, context_cond], axis=0)
-    cond_half_hook = None
-    if hook is not None:
-        def cond_half_hook(probs, meta):  # noqa: E306
-            keep, edit = jnp.split(probs, 2, axis=0)
-            return jnp.concatenate([keep, hook(edit, meta)], axis=0)
-        # keep the static identity-layer predicate visible through the
-        # wrapper, or the CFG path (the 50-step DDIM/NTI baselines) would
-        # materialise probabilities on every layer again
-        applies = getattr(hook, "applies", None)
-        if applies is not None:
-            cond_half_hook.applies = applies
-    eps = noise_model(doubled, t, ctx, None, cond_half_hook)
+    eps = noise_model(doubled, t, ctx, None, _wrap_cond_half(hook))
     eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
     scale = g.cfg_scale_at(t)
     if g.guidance_scale > 1:
@@ -278,9 +287,15 @@ def ddim_loop(
 
     Without controller hooks the 50 steps compile as ONE `lax.scan` body
     (per-step guidance constants become scan inputs) — a 50x smaller XLA
-    graph than unrolling, which matters for full-size UNets. Hooked /
-    callback runs fall back to the unrolled path (the controller's
-    per-step structure is static).
+    graph than unrolling, which matters for full-size UNets. Hooked runs
+    ALSO scan when the controller supports it (every p2p controller except
+    store_all: `ControllerRuntime.scan_supported`): the per-step behavior
+    is data (traced gathers over the step index, `edit_attention`), so one
+    unrolled step 0 (which sizes the LocalBlend accumulator) plus an
+    (N-1)-iteration scan replaces N unrolled hooked UNet calls — at full
+    SD1.5 the unrolled 50-step program costs ~10 min lowering + ~14 min
+    remote compile (measured, tools/exp_hooked_compile.py); the scan form
+    is ~25x smaller. store_all runs stay unrolled.
     """
     timesteps = grid.ddim_timesteps[::-1] if not is_forward else grid.ddim_timesteps
     # Reference indexes scheduler.timesteps (descending) from the back for
@@ -289,6 +304,16 @@ def ddim_loop(
         return _ddim_loop_scan(
             noise_model, latent, context_uncond, context_cond, timesteps,
             grid, schedule, g, is_forward, per_step_uncond, return_all,
+        )
+    rt = getattr(hook_factory, "__self__", None)
+    if (
+        rt is not None
+        and getattr(rt, "scan_supported", lambda: False)()
+        and len(timesteps) > 2
+    ):
+        return _ddim_loop_scan_hooked(
+            noise_model, latent, context_uncond, context_cond, timesteps,
+            grid, schedule, g, is_forward, per_step_uncond, rt, return_all,
         )
     trajectory: List[jax.Array] = [latent]
     for i, t in enumerate(timesteps.tolist()):
@@ -372,4 +397,84 @@ def _ddim_loop_scan(
     )
     if return_all:
         return jnp.concatenate([latent[None], traj], axis=0)
+    return final
+
+
+def _ddim_loop_scan_hooked(
+    noise_model: NoiseModel,
+    latent: jax.Array,
+    context_uncond: jax.Array,
+    context_cond: jax.Array,
+    timesteps: np.ndarray,
+    grid: SolverGrid,
+    schedule: NoiseSchedule,
+    g: GuidanceConfig,
+    is_forward: bool,
+    per_step_uncond: Optional[jax.Array],
+    rt,
+    return_all: bool,
+):
+    """Scan form of the CONTROLLER-HOOKED ddim loop (see ddim_loop).
+
+    Step 0 runs unrolled: its hooks materialise the LocalBlend 16^2 map
+    accumulator, whose shape seeds the scan carry. Steps 1..N-1 share one
+    scan body — the controller consumes the traced step index through
+    `edit_attention` / `scan_step_callback`.
+    """
+    b = latent.shape[0]
+    n = len(timesteps)
+    step_ratio = 1000 // grid.n_steps
+    ts = jnp.asarray(timesteps.copy(), jnp.int32)
+    if per_step_uncond is None:
+        per_step_uncond = jnp.broadcast_to(
+            context_uncond[None], (n,) + context_uncond.shape
+        )
+    if g.w_embed_dim > 0:
+        w_embs = jnp.stack(
+            [w_embedding_for(g, int(t), b, latent.dtype) for t in timesteps]
+        )
+        scales = jnp.zeros((n,), jnp.float32)
+    else:
+        w_embs = jnp.zeros((n, 0), latent.dtype)
+        scales = jnp.asarray(
+            [g.cfg_scale_at(int(t)) for t in timesteps], jnp.float32
+        )
+
+    def one_step(lat, t, w_emb, scale, cu, step):
+        hook = rt.hook_factory(step)
+        if g.w_embed_dim > 0:
+            eps = noise_model(lat, t, context_cond, w_emb, hook)
+        else:
+            doubled = jnp.concatenate([lat, lat], axis=0)
+            ctx = jnp.concatenate([cu, context_cond], axis=0)
+            eps2 = noise_model(doubled, t, ctx, None, _wrap_cond_half(hook))
+            eps_u, eps_c = jnp.split(eps2, 2, axis=0)
+            if g.guidance_scale > 1:
+                eps = eps_u + scale * (eps_c - eps_u)
+            else:
+                eps = eps_c
+        if is_forward:
+            return ddim_next_step(eps, t, lat, schedule, step_ratio)
+        return ddim_prev_step(eps, t, lat, schedule, step_ratio)
+
+    lat = one_step(
+        latent, ts[0], w_embs[0], scales[0], per_step_uncond[0], 0
+    )
+    lat = rt.step_callback(lat, 0)
+    accum = jnp.stack(rt._accum_maps) if rt._accum_maps else None
+
+    def body(carry, xs):
+        lat, accum = carry
+        t, w_emb, scale, cu, step = xs
+        lat = one_step(lat, t, w_emb, scale, cu, step)
+        lat, accum = rt.scan_step_callback(lat, step, accum)
+        return (lat, accum), (lat if return_all else None)
+
+    steps = jnp.arange(1, n, dtype=jnp.int32)
+    (final, _), traj = jax.lax.scan(
+        body, (lat, accum),
+        (ts[1:], w_embs[1:], scales[1:], per_step_uncond[1:], steps),
+    )
+    if return_all:
+        return jnp.concatenate([jnp.stack([latent, lat]), traj], axis=0)
     return final

@@ -238,3 +238,49 @@ class TestLoad512:
         arr = np.zeros((100, 100, 4), np.uint8)  # RGBA-like extra channel
         out = load_512(arr, size=128)
         assert out.shape == (128, 128, 3)
+
+
+class TestScanHookedDDIM:
+    """The scan form of the controller-hooked DDIM loop (the 50-step
+    editing baselines) must reproduce the unrolled form exactly — the
+    controller's per-step behavior is data, not structure."""
+
+    def _run(self, pipe, monkeypatch, force_unrolled):
+        import invertible_cd_tpu.edit.controllers as C
+        from invertible_cd_tpu.edit import make_controller
+        from invertible_cd_tpu.pipelines import GuidanceConfig
+
+        if force_unrolled:
+            monkeypatch.setattr(
+                C.ControllerRuntime, "scan_supported", lambda self: False
+            )
+        pipe._jit_cache.clear()  # same static key either way — force retrace
+        spec, arrays = make_controller(
+            ["a cat on the beach", "a dog on the beach"], pipe.tokenizer,
+            num_steps=pipe.grid.n_steps, is_replace_controller=True,
+            cross_replace_steps=0.6, self_replace_steps=0.4,
+            blend_words=[["cat"], ["dog"]],
+            equalizer_params={"words": ["dog"], "values": (3.0,)},
+        )
+        g = GuidanceConfig(guidance_scale=8.0, w_embed_dim=0)
+        h, w = pipe.latent_size
+        latent = jnp.broadcast_to(
+            jax.random.normal(jax.random.PRNGKey(7), (1, h, w, 4)),
+            (2, h, w, 4),
+        )
+        imgs, lat = pipe.ddim_generate(
+            ["a cat on the beach", "a dog on the beach"],
+            latent=latent, guidance=g, controller=(spec, arrays),
+        )
+        pipe._jit_cache.clear()
+        return np.asarray(imgs), np.asarray(lat)
+
+    def test_scan_matches_unrolled(self, tiny_pipe, monkeypatch):
+        import jax
+
+        got_i, got_l = self._run(tiny_pipe, monkeypatch, force_unrolled=False)
+        want_i, want_l = self._run(tiny_pipe, monkeypatch, force_unrolled=True)
+        # scan vs unrolled fuse differently -> fp32 reassociation noise of
+        # ~1e-6 relative on O(30) latents; a structural bug would be O(1)
+        np.testing.assert_allclose(got_l, want_l, atol=5e-4, rtol=1e-4)
+        np.testing.assert_allclose(got_i, want_i, atol=1e-4)

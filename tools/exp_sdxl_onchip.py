@@ -42,7 +42,7 @@ import numpy as np
 
 
 def build_step(depth: int, latent: int, losses: str, split: bool,
-               batch: int):
+               batch: int, lazy: bool = False):
     from invertible_cd_tpu.diffusion.schedule import make_schedule
     from invertible_cd_tpu.diffusion.solver import make_train_solver
     from invertible_cd_tpu.models import UNet2DCondition, UNetConfig
@@ -78,7 +78,7 @@ def build_step(depth: int, latent: int, losses: str, split: bool,
     )
     full = losses == "full4"
     tcfg = TrainConfig(
-        lora_rank=64, remat=True, bf16_moments=True,
+        lora_rank=64, remat=True, bf16_moments=True, lazy_lora=lazy,
         use_forward_preserve=full, use_reverse_preserve=full,
         loss=LossConfig(w_embed_dim=cfg.time_cond_proj_dim),
     )
@@ -104,13 +104,13 @@ def build_step(depth: int, latent: int, losses: str, split: bool,
 
 
 def run_rung(depth: int, latent: int, losses: str, split: bool,
-             batch: int) -> dict:
+             batch: int, lazy: bool = False) -> dict:
     rec = {"depth": depth, "latent": latent, "losses": losses,
-           "split": split, "batch": batch}
+           "split": split, "batch": batch, "lazy": lazy}
     t0 = time.perf_counter()
     try:
         step, state, base, batch_d = build_step(
-            depth, latent, losses, split, batch
+            depth, latent, losses, split, batch, lazy
         )
         new_state, metrics = step(
             state, base, base, batch_d, jax.random.PRNGKey(2)
