@@ -292,10 +292,12 @@ def ddim_loop(
     store_all: `ControllerRuntime.scan_supported`): the per-step behavior
     is data (traced gathers over the step index, `edit_attention`), so one
     unrolled step 0 (which sizes the LocalBlend accumulator) plus an
-    (N-1)-iteration scan replaces N unrolled hooked UNet calls — at full
-    SD1.5 the unrolled 50-step program costs ~10 min lowering + ~14 min
-    remote compile (measured, tools/exp_hooked_compile.py); the scan form
-    is ~25x smaller. store_all runs stay unrolled.
+    (N-1)-iteration scan replaces N unrolled hooked UNet calls. Measured
+    at full SD1.5 on the chip (tools/exp_hooked_compile.py): unrolled
+    617 s lower + 822 s remote compile, 5.43 GB peak temp; scan form
+    242 s + 147 s (3.7x end-to-end, one-time per config — the compile
+    cache amortises it) and 2.24 GB peak temp. store_all runs stay
+    unrolled.
     """
     timesteps = grid.ddim_timesteps[::-1] if not is_forward else grid.ddim_timesteps
     # Reference indexes scheduler.timesteps (descending) from the back for
