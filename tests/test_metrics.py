@@ -228,3 +228,40 @@ class TestImageRewardTextMask:
         c = model.apply(params, imgs, jnp.asarray(ids))
         d = model.apply(params, imgs, jnp.asarray(ids2))
         assert abs(float(c[0]) - float(d[0])) > 1e-8
+
+
+class TestImageGrid:
+    """utils/images.py — reference to_pil_images/view_images twins
+    (`utils/generation.py:569-626`)."""
+
+    def test_grid_shape_and_gutters(self):
+        from invertible_cd_tpu.utils import image_grid
+
+        imgs = [np.full((10, 20, 3), i * 10, np.uint8) for i in range(6)]
+        grid = image_grid(imgs, num_rows=2, offset_ratio=0.1)
+        # offset = int(10 * 0.1) = 1; 2 rows x 3 cols
+        assert grid.shape == (10 * 2 + 1, 20 * 3 + 2, 3)
+        assert (grid[:10, :20] == imgs[0]).all()
+        assert (grid[11:, 42:] == imgs[5]).all()
+        assert (grid[10, :] == 255).all()  # white gutter row
+
+    def test_ragged_row_pads_white_and_floats_rescale(self):
+        from invertible_cd_tpu.utils import image_grid
+
+        imgs = np.stack([np.full((4, 4, 3), 0.5, np.float32)] * 3)
+        grid = image_grid(imgs, num_rows=2, offset_ratio=0.0)
+        assert grid.shape == (8, 8, 3)
+        assert (grid[:4, :4] == 127).all()  # 0.5 -> 127 uint8
+        assert (grid[4:, 4:] == 255).all()  # padded 4th tile is white
+
+    def test_single_image_and_pil(self):
+        from invertible_cd_tpu.utils import to_pil_images, view_images
+
+        img = np.zeros((8, 8, 3), np.uint8)
+        assert to_pil_images(img).size == (8, 8)
+        import os
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".png") as f:
+            view_images([img, img], num_rows=1, save_path=f.name)
+            assert os.path.getsize(f.name) > 0
