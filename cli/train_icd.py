@@ -162,6 +162,11 @@ def parse_args(argv=None):
                    help="store Adam's first moment in bf16 (both students' "
                         "r=64 LoRA opt states are ~6 GB fp32 — needed to "
                         "stay HBM-resident on a single 16 GB chip)")
+    p.add_argument("--skip_nonfinite", action="store_true",
+                   help="skip optimizer updates whose gradients contain "
+                        "NaN/Inf instead of poisoning the adapters; after "
+                        "100 consecutive bad steps the NaN surfaces "
+                        "(optax apply_if_finite)")
     p.add_argument("--log_every", type=int, default=10)
     argv = apply_config_file(p, argv)
     return p.parse_args(argv)
@@ -596,6 +601,7 @@ def main(argv=None):
         remat=args.remat,
         lazy_lora=args.lazy_lora,
         bf16_moments=args.bf16_moments,
+        skip_nonfinite=args.skip_nonfinite,
         discrete_w=tuple(float(w) for w in args.discrete_w.split(",")) or None,
         use_forward_preserve=not args.no_forward_preserve,
         use_reverse_preserve=not args.no_reverse_preserve,

@@ -155,7 +155,12 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     # either way) — and the true limiter at S=4096 is the ~2.1e9 softmax
     # exps per layer on the VPU (~40x weaker than the MXU), a floor the
     # Pallas kernel hits too (block-size sweep: flat ~10 ms/layer across
-    # bq 256-1024 x bk 512-2048). Keep the simple call; do not retry.
+    # bq 256-1024 x bk 512-2048). Cheaper exponent forms don't move it
+    # either: fenced compute-bound chains on the chip put exp ≈ one fused
+    # multiply (196 vs 225 Gop/s), with exp2(x·log2e), raw exp2 and bf16
+    # exp all within ±6% — the VPU's transcendental is already one-pass,
+    # so the floor is total elementwise throughput, not exp specifically
+    # (round 4). Keep the simple call; do not retry.
     return jax.nn.dot_product_attention(q, k, v)
 
 

@@ -70,6 +70,18 @@ class TrainConfig:
     # backward otherwise materialises — the lever that fits full-depth
     # SDXL training on a single 16 GB chip.
     lazy_lora: bool = False
+    # Skip an optimizer update whose gradients contain any non-finite
+    # value instead of writing NaN into the adapters (optax
+    # apply_if_finite). A transient bad batch then costs one step, not
+    # the run; after `max_nonfinite_skips` CONSECUTIVE bad steps the
+    # guard stops masking and the NaN surfaces, so persistent divergence
+    # still fails loudly. The reference has no equivalent — a NaN batch
+    # silently poisons its peft adapters. Off by default: the optimizer
+    # state tree is unchanged unless requested (the guard wraps the opt
+    # state in ApplyIfFiniteState, so flipping it mid-run changes the
+    # checkpoint layout).
+    skip_nonfinite: bool = False
+    max_nonfinite_skips: int = 100
     loss: L.LossConfig = dataclasses.field(default_factory=L.LossConfig)
 
 
@@ -87,7 +99,7 @@ class ICDTrainState:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             cfg.learning_rate,
@@ -98,6 +110,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             mu_dtype=jnp.bfloat16 if cfg.bf16_moments else None,
         ),
     )
+    if cfg.skip_nonfinite:
+        opt = optax.apply_if_finite(
+            opt, max_consecutive_errors=cfg.max_nonfinite_skips
+        )
+    return opt
 
 
 def init_train_state(
@@ -287,6 +304,8 @@ def make_train_step(
             metrics.update(logs_r)
             metrics["reverse_total_loss"] = loss_r
             metrics["reverse_grad_norm"] = optax.global_norm(grads_r)
+            if cfg.skip_nonfinite:
+                metrics["reverse_nonfinite_skips"] = new_opt_r.total_notfinite
 
         new_lora_f, new_opt_f = state.lora_forward, state.opt_forward
         if parts in ("both", "forward") and (
@@ -302,6 +321,8 @@ def make_train_step(
             metrics.update(logs_f)
             metrics["forward_total_loss"] = loss_f
             metrics["forward_grad_norm"] = optax.global_norm(grads_f)
+            if cfg.skip_nonfinite:
+                metrics["forward_nonfinite_skips"] = new_opt_f.total_notfinite
 
         new_state = ICDTrainState(
             step=state.step + 1,

@@ -351,3 +351,63 @@ class TestLazyLora:
             )
         )
         assert worst < 5e-5, worst
+
+
+class TestSkipNonfinite:
+    """skip_nonfinite guards the adapters against NaN/Inf gradients
+    (optax apply_if_finite wrapping). The reference has no equivalent —
+    a bad batch silently poisons its peft adapters."""
+
+    def test_optimizer_skips_nonfinite_and_recovers(self):
+        from invertible_cd_tpu.training.trainer import make_optimizer
+
+        opt = make_optimizer(
+            TrainConfig(skip_nonfinite=True, max_nonfinite_skips=3)
+        )
+        params = {"w": jnp.ones((4,))}
+        state = opt.init(params)
+        bad = {"w": jnp.array([1.0, jnp.nan, 0.0, 2.0])}
+        upd, state = opt.update(bad, state, params)
+        assert float(jnp.abs(upd["w"]).max()) == 0.0
+        assert int(state.total_notfinite) == 1
+        good = {"w": jnp.ones((4,))}
+        upd, state = opt.update(good, state, params)
+        assert float(jnp.abs(upd["w"]).max()) > 0.0
+        assert int(state.notfinite_count) == 0  # consecutive counter reset
+        assert int(state.total_notfinite) == 1
+
+    def test_nan_batch_leaves_adapters_unchanged(self, setup):
+        """End to end: a NaN batch through the real train step must not
+        move either student and must report the skip in metrics."""
+        import dataclasses
+
+        unet, cfg, base, schedule, solver, tcfg, mesh, fresh_state, step = setup
+        guarded_cfg = dataclasses.replace(
+            tcfg,
+            skip_nonfinite=True,
+            # cd2-only keeps this one-off specialization's compile small
+            use_forward_preserve=False,
+            use_reverse_preserve=False,
+        )
+        guarded_step = make_train_step(
+            unet, base, base, solver, schedule, guarded_cfg
+        )
+        st = init_train_state(jax.random.PRNGKey(7), base, guarded_cfg)
+        before = jax.tree.map(jnp.copy, {"r": st.lora_reverse,
+                                         "f": st.lora_forward})
+        step_before = int(st.step)  # the train step donates st's buffers
+        batch = make_batch(cfg, b=8, seed=40)
+        batch["latents"] = batch["latents"].at[0, 0, 0, 0].set(jnp.nan)
+        batch = shard_batch(batch, mesh)
+        new_state, metrics = guarded_step(
+            st, base, base, batch, jax.random.PRNGKey(41)
+        )
+        assert int(metrics["reverse_nonfinite_skips"]) == 1
+        assert int(metrics["forward_nonfinite_skips"]) == 1
+        for key, tree in (("r", new_state.lora_reverse),
+                          ("f", new_state.lora_forward)):
+            for a, b_ in zip(jax.tree.leaves(before[key]),
+                             jax.tree.leaves(tree)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        # the guarded step still advances the step counter
+        assert int(new_state.step) == step_before + 1
