@@ -46,6 +46,14 @@ def parse_args(argv=None):
     p.add_argument("--tau2", type=float, default=0.8)
     p.add_argument("--quantize", default="off",
                    choices=["off", "int8", "int8_vae", "int8_static"])
+    p.add_argument("--dp", type=int, default=0,
+                   help="serve over a dp(xsp) mesh: shard each batch's "
+                        "requests over dp chips (0 = no mesh, single "
+                        "device)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="spatial parallelism: additionally shard each "
+                        "latent's HEIGHT over sp chips (batch-1 latency "
+                        "scaling; needs dp*sp devices)")
     p.add_argument("--platform", default=None)
     p.add_argument("--reverse_timesteps", type=int, nargs="*", default=None,
                    help="default: 259 519 779 999 (SD1.5) / "
@@ -91,9 +99,15 @@ def make_server(args, pipe=None):
         tuple(int(b) for b in args.batch_sizes.split(","))
         if args.batch_sizes else None
     )
+    mesh = None
+    if getattr(args, "dp", 0):
+        from invertible_cd_tpu.parallel import make_mesh
+
+        sp = max(1, getattr(args, "sp", 1))
+        mesh = make_mesh(dp=args.dp, fsdp=1, sp=sp, tp=1)
     executor = BatchingExecutor(
         pipe, batch_size=args.batch_size, batch_sizes=sizes,
-        max_delay=args.max_delay_ms / 1e3, guidance=g,
+        max_delay=args.max_delay_ms / 1e3, guidance=g, mesh=mesh,
     )
 
     class Handler(BaseHTTPRequestHandler):

@@ -1,6 +1,7 @@
 from .mesh import (
     batch_sharding,
     initialize_distributed,
+    latent_sharding,
     make_mesh,
     param_sharding,
     process_local_batch_slice,
@@ -12,6 +13,7 @@ from .mesh import (
 __all__ = [
     "batch_sharding",
     "initialize_distributed",
+    "latent_sharding",
     "make_mesh",
     "param_sharding",
     "process_local_batch_slice",

@@ -49,28 +49,51 @@ def make_mesh(
     dp: Optional[int] = None,
     fsdp: int = 1,
     tp: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """A (dp, fsdp[, tp]) mesh over all (or the given) devices.
+    """A (dp, fsdp[, sp][, tp]) mesh over all (or the given) devices.
 
-    With fsdp == tp == 1 this degenerates to pure data parallelism — the
-    reference's semantics. dp defaults to n_devices // (fsdp * tp).
-    The mesh always carries all three axes (size-1 axes are free), so
-    sharding specs are mesh-shape independent.
+    With fsdp == sp == tp == 1 this degenerates to pure data parallelism
+    — the reference's semantics. dp defaults to
+    n_devices // (fsdp * sp * tp). The mesh always carries all four axes
+    (size-1 axes are free), so sharding specs are mesh-shape independent.
+
+    sp is spatial/sequence parallelism: latents sharded on their HEIGHT
+    axis (`latent_sharding`), so GSPMD spatially partitions the whole
+    UNet/VAE — convolutions get halo collective-permutes, per-token ops
+    (GroupNorm over channels, FF) run shard-local, and self-attention
+    resolves the seq×seq contraction with ICI all-gathers. This is the
+    batch-1 latency scaling axis (SDXL 1024²: one image cooperatively
+    across chips), which dp cannot provide; the reference has no analog
+    (SURVEY.md §2 "TP/PP/SP/EP: ABSENT"). sp sits next to tp in the
+    device array so both intra-model axes ride adjacent ICI links.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % (fsdp * tp) == 0, (n, fsdp, tp)
-        dp = n // (fsdp * tp)
-    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
-    return Mesh(arr, ("dp", "fsdp", "tp"))
+        assert n % (fsdp * sp * tp) == 0, (n, fsdp, sp, tp)
+        dp = n // (fsdp * sp * tp)
+    assert dp * fsdp * sp * tp == n, (
+        f"mesh {dp}x{fsdp}x{sp}x{tp} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(dp, fsdp, sp, tp)
+    return Mesh(arr, ("dp", "fsdp", "sp", "tp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over dp; replicate elsewhere."""
     return NamedSharding(mesh, P("dp"))
+
+
+def latent_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard (B, H, W, C) latents: batch over dp, height over sp.
+
+    device_put the seed latent with this and the jitted sampler runs
+    spatially partitioned end to end (computation follows sharded
+    inputs — same GSPMD mechanism as `batch_sharding`). Context arrays
+    keep `batch_sharding` (their 77-token axis stays replicated)."""
+    return NamedSharding(mesh, P("dp", "sp"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

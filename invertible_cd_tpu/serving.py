@@ -227,9 +227,17 @@ class BatchingExecutor:
             lambda k: jax.random.normal(k, (h, w, 4), jnp.float32)
         )(keys)
         if self.mesh is not None:
-            from .parallel import batch_sharding
+            from .parallel import batch_sharding, latent_sharding
 
-            latent = jax.device_put(latent, batch_sharding(self.mesh))
+            # A mesh with sp > 1 additionally shards latent HEIGHT, so
+            # GSPMD runs each image spatially partitioned across the sp
+            # group — the batch-1 latency axis (one request served
+            # cooperatively by sp chips). dp-only meshes keep the plain
+            # batch sharding.
+            if int(self.mesh.shape.get("sp", 1)) > 1:
+                latent = jax.device_put(latent, latent_sharding(self.mesh))
+            else:
+                latent = jax.device_put(latent, batch_sharding(self.mesh))
         return latent
 
     def _run(self):

@@ -213,3 +213,86 @@ class TestQuantizedParallel:
         diff = np.abs(np.asarray(imgs_tp) - np.asarray(imgs_ref))
         assert diff.mean() < 2e-2, f"mean {diff.mean()} exceeds flip noise"
         assert diff.max() < 2e-1, f"max {diff.max()} exceeds flip noise"
+
+
+class TestSpatialParallel:
+    """sp shards the latent HEIGHT axis (`latent_sharding`), so GSPMD
+    spatially partitions the whole UNet: convolutions exchange halos via
+    collective-permute, per-token ops run shard-local, and self-attention
+    resolves its seq x seq contraction with ICI all-gathers. This is the
+    batch-1 latency axis dp cannot provide (one SDXL 1024^2 image
+    cooperatively across chips); the reference has no analog (SURVEY.md
+    §2 "TP/PP/SP/EP: ABSENT")."""
+
+    def test_unet_sp_partitioned_matches_replicated(self, tiny_pipe):
+        """The UNet-only program must (a) KEEP the sp sharding on its
+        output — proof the interior stayed partitioned rather than
+        all-gathering at entry — (b) contain conv-halo collective
+        permutes, and (c) match the replicated run to reassociation
+        noise (GroupNorm's spatial mean becomes partial sums + an
+        all-reduce under sp, a different summation order — ~1 ulp,
+        measured max 2e-6 on the tiny UNet)."""
+        import jax.numpy as jnp
+        from invertible_cd_tpu.parallel import latent_sharding
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pipe = tiny_pipe
+        mesh = make_mesh(dp=1, fsdp=1, sp=4, tp=1, devices=jax.devices()[:4])
+        b = 2
+        cad = pipe.unet.cfg.cross_attention_dim
+        rng = np.random.default_rng(11)
+        lat_host = jnp.asarray(rng.normal(size=(b, 16, 16, 4)).astype(np.float32))
+        ctx_host = jnp.asarray(rng.normal(size=(b, 77, cad)).astype(np.float32))
+        w_host = jnp.zeros((b, pipe.unet.cfg.time_cond_proj_dim), jnp.float32)
+        rep = NamedSharding(mesh, P())
+        lat = jax.device_put(lat_host, latent_sharding(mesh))
+        ctx = jax.device_put(ctx_host, rep)
+        w = jax.device_put(w_host, rep)
+
+        def unet(params, l, c, wv):
+            return pipe.unet.apply(
+                params, l, jnp.full((b,), 519, jnp.int32), c, w_cond=wv
+            )
+
+        compiled = jax.jit(unet).lower(
+            pipe.params["reverse"], lat, ctx, w
+        ).compile()
+        y_sp = compiled(pipe.params["reverse"], lat, ctx, w)
+        assert y_sp.sharding.spec == P(None, "sp"), y_sp.sharding
+        assert "collective-permute" in compiled.as_text()
+
+        y_rep = jax.jit(unet)(pipe.params["reverse"], lat_host, ctx_host, w_host)
+        np.testing.assert_allclose(
+            np.asarray(y_sp), np.asarray(y_rep), atol=1e-5, rtol=1e-4
+        )
+
+    def test_dp_x_sp_generate_matches_single_device(self, tiny_pipe):
+        """Full 4-hop generate on a dp2 x sp2 mesh: same pixels as the
+        single-device run (the dp test's contract, extended to the
+        spatial axis)."""
+        from invertible_cd_tpu.edit.controllers import empty_arrays
+        from invertible_cd_tpu.parallel import latent_sharding
+
+        pipe = tiny_pipe
+        prompts = ["a cat", "a dog"]
+        key = jax.random.PRNGKey(13)
+        imgs_ref, _ = pipe.generate(prompts, key=key)
+
+        mesh = make_mesh(dp=2, fsdp=1, sp=2, tp=1, devices=jax.devices()[:4])
+        latent = jax.device_put(
+            pipe.init_latent(key, len(prompts)), latent_sharding(mesh)
+        )
+        ctx_u, ctx_c, added = pipe._encode_all(prompts)
+        bs = batch_sharding(mesh)
+        ctx_u = jax.device_put(ctx_u, bs)
+        ctx_c = jax.device_put(ctx_c, bs)
+        arrays = empty_arrays(pipe.grid.num_reverse_steps, len(prompts))
+        fn = pipe._get_jit("cons_generate", pipe.default_guidance(), None, False)
+        imgs_sp, _, _ = fn(
+            pipe.params["reverse"], pipe.params["vae"], latent, ctx_u, ctx_c,
+            ctx_c, arrays, added,
+        )
+        np.testing.assert_allclose(
+            np.asarray(imgs_sp), np.asarray(imgs_ref), atol=3e-5, rtol=1e-4
+        )
+        assert len(imgs_sp.sharding.device_set) == 4

@@ -88,6 +88,25 @@ class TestBatchingExecutor:
         for a, b in zip(ref, got):
             np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
 
+    def test_sp_mesh_serving_matches_single_device(self, served_pipe):
+        """A mesh with sp > 1 serves each request spatially partitioned
+        (latent HEIGHT sharded over sp chips — the batch-1 latency axis);
+        pixels must match the single-device executor for the same seed."""
+        from invertible_cd_tpu.parallel import make_mesh
+
+        pipe = served_pipe
+        with BatchingExecutor(pipe, batch_size=2, max_delay=0.3) as ex:
+            ref = [ex.submit(f"sp prompt {i}", seed=200 + i) for i in range(2)]
+            ref = [f.result(timeout=300) for f in ref]
+        mesh = make_mesh(dp=2, fsdp=1, sp=2, tp=1, devices=jax.devices()[:4])
+        with BatchingExecutor(
+            pipe, batch_size=2, max_delay=0.3, mesh=mesh
+        ) as ex:
+            got = [ex.submit(f"sp prompt {i}", seed=200 + i) for i in range(2)]
+            got = [f.result(timeout=300) for f in got]
+        for a, b in zip(ref, got):
+            np.testing.assert_allclose(a, b, atol=3e-5, rtol=1e-4)
+
     def test_mesh_batch_divisibility_validated(self, served_pipe):
         from invertible_cd_tpu.parallel import make_mesh
 
