@@ -259,6 +259,9 @@ def reconstruct_images(pipe, args, g):
     bundles, fid_images, n_done = [], [], 0
     for i in range(0, len(rows), args.batch_size):
         batch = rows[i : i + args.batch_size]
+        n_real = len(batch)
+        # pad the tail batch so the sweep keeps one compiled program
+        batch = batch + [batch[-1]] * (args.batch_size - len(batch))
         names = [r[0] for r in batch]
         caps = [r[1] for r in batch]
         reals = np.stack([
@@ -279,6 +282,7 @@ def reconstruct_images(pipe, args, g):
             )
             traj, _ = pipe.ddim_invert(reals, caps, guidance=inv_g)
             imgs, _ = pipe.ddim_generate(caps, latent=traj[-1])
+        reals, imgs = reals[:n_real], imgs[:n_real]
         recs = to_uint8(imgs)
         for j, (real, rec) in enumerate(zip(reals, recs)):
             Image.fromarray(real).save(os.path.join(real_dir, f"{i + j:06d}.jpg"))
@@ -290,7 +294,7 @@ def reconstruct_images(pipe, args, g):
                 reals.astype(np.float32) / 255.0,
                 np.asarray(recs, np.float32) / 255.0,
             ))
-        n_done += len(batch)
+        n_done += n_real
         print(f"[{n_done}/{len(rows)}] reconstructed")
 
     summary = {"n_images": n_done}
@@ -311,13 +315,13 @@ def reconstruct_images(pipe, args, g):
     print("reconstruction:", summary)
 
 
-def main(argv=None):
+def main(argv=None, _pipe=None):
     args = parse_args(argv)
     from invertible_cd_tpu.data import load_benchmark
     from invertible_cd_tpu.pipelines.pipeline import to_uint8
 
     os.makedirs(args.out, exist_ok=True)
-    pipe = build_pipeline(args)
+    pipe = _pipe if _pipe is not None else build_pipeline(args)
 
     if args.benchmark:
         prompts = load_benchmark(args.benchmark, kind="generation",
@@ -358,11 +362,16 @@ def main(argv=None):
     saved = []
     for i in range(0, len(prompts), args.batch_size):
         batch = prompts[i : i + args.batch_size]
+        # pad the tail batch to the full batch size so the whole sweep
+        # rides ONE compiled program (a smaller final batch would be a
+        # second trace+remote-compile for a handful of rows)
+        padded = batch + [batch[-1]] * (args.batch_size - len(batch))
         key = jax.random.PRNGKey(args.seed + i)
         if args.ddim_baseline:
-            imgs, _ = pipe.ddim_generate(batch, key=key)
+            imgs, _ = pipe.ddim_generate(padded, key=key)
         else:
-            imgs, _ = pipe.generate(batch, key=key, guidance=g)
+            imgs, _ = pipe.generate(padded, key=key, guidance=g)
+        imgs = imgs[: len(batch)]
         for j, img in enumerate(to_uint8(imgs)):
             path = os.path.join(args.out, f"{i + j:06d}.jpg")
             Image.fromarray(img).save(path)

@@ -100,11 +100,14 @@ def make_server(args, pipe=None):
         if args.batch_sizes else None
     )
     mesh = None
-    if getattr(args, "dp", 0):
+    sp = max(1, getattr(args, "sp", 1) or 1)
+    if getattr(args, "dp", 0) or sp > 1:
         from invertible_cd_tpu.parallel import make_mesh
 
-        sp = max(1, getattr(args, "sp", 1))
-        mesh = make_mesh(dp=args.dp, fsdp=1, sp=sp, tp=1)
+        # --sp alone serves one image cooperatively across sp chips
+        # (dp defaults to 1); --dp alone is pure data parallelism.
+        mesh = make_mesh(dp=max(1, getattr(args, "dp", 0) or 1), fsdp=1,
+                         sp=sp, tp=1)
     executor = BatchingExecutor(
         pipe, batch_size=args.batch_size, batch_sizes=sizes,
         max_delay=args.max_delay_ms / 1e3, guidance=g, mesh=mesh,

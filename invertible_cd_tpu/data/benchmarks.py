@@ -2,10 +2,14 @@
 
 Two schemas (reference `running/benchmarks/instructions/*.csv`):
   generation: columns (file_name, caption)           -> prompts + names
+              (Parti-Prompts uses (id, caption) with no file_name —
+              `generation_parti-prompts.csv`; names fall back to
+              "<id>.jpg" there)
   editing:    columns (file_name, old_caption,
                edited_caption, blended_words)        -> edit instructions
 `blended_words` appears either as "('a', 'b')" tuples (COCO editing) or as
-space-separated pairs "a b" (PieBench).
+space-separated pairs "a b" (PieBench). A leading unnamed pandas index
+column (as in the reference CSVs) is tolerated.
 """
 from __future__ import annotations
 
@@ -62,9 +66,9 @@ def load_benchmark(
     if kind == "generation":
         if with_files:
             out: List = [
-                (r["file_name"], r["caption"])
-                for r in rows
-                if r.get("caption") and r.get("file_name")
+                (r.get("file_name") or f"{r.get('id', i)}.jpg", r["caption"])
+                for i, r in enumerate(rows)
+                if r.get("caption")
             ]
         else:
             out = [r["caption"] for r in rows if r.get("caption")]

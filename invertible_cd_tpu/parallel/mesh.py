@@ -48,8 +48,8 @@ def initialize_distributed(
 def make_mesh(
     dp: Optional[int] = None,
     fsdp: int = 1,
-    tp: int = 1,
     sp: int = 1,
+    tp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
     """A (dp, fsdp[, sp][, tp]) mesh over all (or the given) devices.

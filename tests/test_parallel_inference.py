@@ -266,6 +266,48 @@ class TestSpatialParallel:
             np.asarray(y_sp), np.asarray(y_rep), atol=1e-5, rtol=1e-4
         )
 
+    def test_unet_dp2_x_sp4_keeps_height_sharded(self, tiny_pipe):
+        """The DRIVER's dryrun mesh shape (dp2 x sp4 over 8 devices;
+        round 4 regression — the sp output contract had only ever been
+        tested at dp=1, and at dp>1 the batch axis legitimately comes
+        out dp-sharded, i.e. P('dp','sp') not P(None,'sp'). Pin: height
+        stays sp-sharded, halos are collective-permuted, numerics match
+        the replicated run."""
+        import jax.numpy as jnp
+        from invertible_cd_tpu.parallel import latent_sharding
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pipe = tiny_pipe
+        mesh = make_mesh(dp=2, fsdp=1, sp=4, tp=1, devices=jax.devices()[:8])
+        b = 2
+        cad = pipe.unet.cfg.cross_attention_dim
+        rng = np.random.default_rng(17)
+        lat_host = jnp.asarray(rng.normal(size=(b, 16, 16, 4)).astype(np.float32))
+        ctx_host = jnp.asarray(rng.normal(size=(b, 77, cad)).astype(np.float32))
+        w_host = jnp.zeros((b, pipe.unet.cfg.time_cond_proj_dim), jnp.float32)
+        rep = NamedSharding(mesh, P())
+        lat = jax.device_put(lat_host, latent_sharding(mesh))
+        ctx = jax.device_put(ctx_host, rep)
+        w = jax.device_put(w_host, rep)
+
+        def unet(params, l, c, wv):
+            return pipe.unet.apply(
+                params, l, jnp.full((b,), 519, jnp.int32), c, w_cond=wv
+            )
+
+        compiled = jax.jit(unet).lower(
+            pipe.params["reverse"], lat, ctx, w
+        ).compile()
+        y_sp = compiled(pipe.params["reverse"], lat, ctx, w)
+        spec = tuple(y_sp.sharding.spec)
+        assert len(spec) >= 2 and spec[1] == "sp", y_sp.sharding
+        assert "collective-permute" in compiled.as_text()
+
+        y_rep = jax.jit(unet)(pipe.params["reverse"], lat_host, ctx_host, w_host)
+        np.testing.assert_allclose(
+            np.asarray(y_sp), np.asarray(y_rep), atol=1e-5, rtol=1e-4
+        )
+
     def test_dp_x_sp_generate_matches_single_device(self, tiny_pipe):
         """Full 4-hop generate on a dp2 x sp2 mesh: same pixels as the
         single-device run (the dp test's contract, extended to the

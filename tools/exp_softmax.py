@@ -1,0 +1,186 @@
+"""Softmax-VPU-floor falsification experiment (VERDICT r4 item 3).
+
+The round-3 speed-of-light analysis claims the five 64^2 self-attention
+layers (G=128 instances of S=4096, d=40) are at a VPU hardware floor
+(~10 ms/layer at batch 16): ~2.1e9 softmax exps per layer run on the VPU
+while the MXU idles. This tool attacks that claim with concrete kernel
+variants, each a minimal edit of the production forward kernel
+(ops/flash_attention.py `_fwd_kernel`, inference path):
+
+  base      — production kernel (fp32 online softmax, exp)
+  exp2      — base-2 softmax: fold log2(e) into the logit scale, use
+              exp2 for p and the rescale factor alpha (if Mosaic lowers
+              exp as exp2(x*log2e), this saves one VPU multiply per
+              element — ~2.1e9 multiplies/layer)
+  bf16exp   — compute the exponentials in bf16 (packed 2x VPU lanes if
+              supported): p = exp(bf16(logits - m)); row-sum
+              accumulates fp32
+  exp2bf16  — both
+  nomax     — measurement-only upper bound: skip the running-max
+              bookkeeping entirely (numerically UNSAFE, never shipped);
+              isolates how much of the floor is max/alpha bookkeeping
+              vs the exp itself
+
+Timing: chained-iteration inside one jit (see bench_kernels.py) so the
+~35 ms tunnel round trip cancels.
+
+Run: python tools/exp_softmax.py [--iters 16]
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import math
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/icd_tpu_jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+NEG_INF = -1e30
+LOG2E = math.log2(math.e)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sk: int,
+            scale: float, variant: str):
+    q = q_ref[...]
+    block_q, d = q.shape
+
+    use_exp2 = variant in ("exp2", "exp2bf16")
+    use_bf16 = variant in ("bf16exp", "exp2bf16")
+    exp = jnp.exp2 if use_exp2 else jnp.exp
+    # base-2 softmax: logits' = logits * log2e, exp2(logits' - m') is
+    # exactly softmax's exp(logits - m) — fold log2e into the MXU scale
+    eff_scale = scale * LOG2E if use_exp2 else scale
+
+    m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        start = pl.multiple_of(i * block_k, block_k)
+        k = k_ref[pl.ds(start, block_k), :]
+        v = v_ref[pl.ds(start, block_k), :]
+        logits = eff_scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if variant == "nomax":
+            # UNSAFE: assumes |logits| small enough that exp never
+            # overflows; measurement-only
+            p = jnp.exp(logits)
+            l = l + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m, l, acc
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        diff = logits - m_new
+        if use_bf16:
+            p = exp(diff.astype(jnp.bfloat16))
+            p_sum = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        else:
+            p = exp(diff)
+            p_sum = jnp.sum(p, axis=-1, keepdims=True)
+        alpha = exp(m - m_new)
+        l = l * alpha + p_sum
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, sk // block_k, body, (m, l, acc))
+    l = jnp.maximum(l, 1e-30)
+    o_ref[...] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_variant(q, k, v, variant: str, block_q=256, block_k=512,
+                  scale=None):
+    g, sq, d = q.shape
+    sk = k.shape[1]
+    scale = scale if scale is not None else float(d) ** -0.5
+    return pl.pallas_call(
+        functools.partial(_kernel, block_k=block_k, sk=sk, scale=scale,
+                          variant=variant),
+        grid=(g, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, sk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, sk, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, sq, d), q.dtype),
+    )(q, k, v)
+
+
+def chained_time(fn, q, k, v, iters):
+    """(t_N - t_1)/(N-1) with iteration i+1 consuming a hair of i."""
+    @jax.jit
+    def chain(q, k, v):
+        def body(carry, _):
+            o = fn(q + carry * 1e-12, k, v)
+            return o[0, 0, 0].astype(jnp.float32), o
+        last, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return last
+
+    @jax.jit
+    def one(q, k, v):
+        return fn(q, k, v)[0, 0, 0].astype(jnp.float32)
+
+    float(one(q, k, v))  # compile
+    float(chain(q, k, v))  # compile
+    t0 = time.perf_counter()
+    float(one(q, k, v))
+    t1 = time.perf_counter()
+    float(chain(q, k, v))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (iters - 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--block_q", type=int, default=256)
+    ap.add_argument("--block_k", type=int, default=512)
+    args = ap.parse_args()
+
+    # the headline shape: batch 16 x 8 heads, 64^2 tokens, d=40 padded
+    # to 64 (production pads; true-softmax scale 40^-0.5)
+    G, S, D = 128, 4096, 64
+    scale = 40.0 ** -0.5
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(G, S, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(G, S, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(G, S, D)), jnp.bfloat16)
+
+    base_out = None
+    for variant in ("base", "exp2", "bf16exp", "exp2bf16", "nomax"):
+        fn = functools.partial(
+            flash_variant, variant=variant, block_q=args.block_q,
+            block_k=args.block_k, scale=scale,
+        )
+        out = np.asarray(jax.jit(fn)(q, k, v), np.float32)
+        if variant == "base":
+            base_out = out
+            err = 0.0
+        else:
+            err = float(np.abs(out - base_out).max())
+        dt = chained_time(fn, q, k, v, args.iters)
+        print(f"{variant:9s}  {dt * 1e3:7.3f} ms/layer   "
+              f"max|out-base|={err:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,5 @@
-"""PieBench-140 stand-in: a vendorable 140-row editing benchmark (C30).
+"""Benchmark stand-ins: vendorable PieBench-140 editing + COCO/Parti
+generation prompt sets (C30).
 
 The reference ships benchmark CSVs (`running/benchmarks/instructions/
 editing_pie_bench_140.csv` — 140 one-word replacement rows with blended
@@ -16,8 +17,19 @@ This tool manufactures a protocol-complete stand-in:
     (`generate_images`), so the editing protocol runs end-to-end exactly
     like the reference's PieBench sweep (`edit.py:465-486`).
 
+It also manufactures GENERATION benchmark stand-ins (VERDICT r4 item 5)
+mirroring the reference's two generation schemas exactly:
+
+  * benchmarks/generation_coco_standin.csv — 600 COCO-caption-style rows
+    in the `generation_coco.csv` schema: a leading unnamed pandas index
+    column + (file_name, caption), full-sentence captions.
+  * benchmarks/generation_parti_standin.csv — 128 Parti-Prompts-style
+    rows in the `generation_parti-prompts.csv` schema: unnamed index +
+    (id, caption), no file_name column — exercising the loader's id
+    fallback.
+
 Usage:
-  python tools/make_benchmark_standin.py --csv_only          # just the CSV
+  python tools/make_benchmark_standin.py --csv_only          # just the CSVs
   python tools/make_benchmark_standin.py --model sd15 \
       --out benchmarks/piebench140_standin                   # CSV + images
 """
@@ -89,6 +101,75 @@ def write_csv(path: str = DEFAULT_CSV, n: int = 140) -> str:
     return path
 
 
+GEN_COCO_CSV = os.path.join(_REPO, "benchmarks", "generation_coco_standin.csv")
+GEN_PARTI_CSV = os.path.join(_REPO, "benchmarks",
+                             "generation_parti_standin.csv")
+
+# COCO-caption-style sentence parts (captions are full sentences with
+# varied length/punctuation, like the real val2014 captions).
+_SUBJECTS = [
+    "A corgi", "Two cats", "A group of people", "An old man", "A young girl",
+    "A delivery truck", "Three dogs", "A flock of birds", "A baseball player",
+    "A woman in a red coat",
+]
+_VERBS = [
+    "sitting", "running", "sleeping", "standing", "playing", "eating",
+    "walking", "resting", "waiting", "jumping",
+]
+_PLACES = [
+    "on a sandy beach", "in a busy kitchen", "next to a parked car",
+    "under a large umbrella", "on an unmade bed", "near a train station",
+    "in a sunny meadow", "beside a brick wall", "on a wooden dock",
+    "in front of a grocery store",
+]
+_PARTI_THEMES = [
+    "a watercolor painting of {}", "a low-poly render of {}",
+    "a charcoal sketch of {}", "a neon sign that says {}",
+    "an isometric diagram of {}", "a macro photograph of {}",
+    "a stained-glass window depicting {}", "a papercraft model of {}",
+]
+_PARTI_OBJECTS = [
+    "a lighthouse at dusk", "two robots playing chess", "a bowl of ramen",
+    "a city in the clouds", "an origami crane", "a vintage typewriter",
+    "a coral reef", "a steam locomotive", "a violin on a chair",
+    "a cactus wearing a hat", "a map of an imaginary island",
+    "a clockwork heart", "a library staircase", "a field of wind turbines",
+    "a teapot shaped like a whale", "an astronaut riding a bicycle",
+]
+
+
+def write_generation_csvs(coco_path: str = GEN_COCO_CSV,
+                          parti_path: str = GEN_PARTI_CSV,
+                          coco_rows: int = 600) -> tuple:
+    """Write the two generation stand-ins in the reference's exact
+    on-disk schemas (incl. the leading unnamed index column)."""
+    os.makedirs(os.path.dirname(coco_path), exist_ok=True)
+    with open(coco_path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["", "file_name", "caption"])
+        n = 0
+        for subj in _SUBJECTS:
+            for verb in _VERBS:
+                for place in _PLACES:
+                    if n >= coco_rows:
+                        break
+                    cap = f"{subj} {verb} {place}."
+                    w.writerow([n * 37 + 11,
+                                f"COCO_standin_{n:012d}.jpg", cap])
+                    n += 1
+    with open(parti_path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["", "id", "caption"])
+        n = 0
+        for theme in _PARTI_THEMES:
+            for obj in _PARTI_OBJECTS:
+                if n >= 128:
+                    break
+                w.writerow([n, n, theme.format(obj)])
+                n += 1
+    return coco_path, parti_path
+
+
 def generate_images(pipe, csv_path: str, image_root: str, batch: int = 4,
                     seed: int = 0):
     """Pipeline-generate the source images for every CSV row."""
@@ -131,6 +212,8 @@ def main():
 
     path = write_csv(args.csv, args.rows)
     print(f"wrote {args.rows}-row editing benchmark to {path}")
+    coco, parti = write_generation_csvs()
+    print(f"wrote generation benchmarks to {coco}, {parti}")
     if args.csv_only:
         return
     from cli.generate import build_pipeline
