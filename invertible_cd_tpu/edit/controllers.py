@@ -437,9 +437,41 @@ class ControllerRuntime:
         """True when every per-step difference can be expressed as data
         (traced gathers/blends over the step index), so the sampler may
         compile ONE scan body instead of unrolling N hooked UNet calls.
-        store_all is the exception: it appends per-(step, layer) arrays
-        to a python dict, which has no fixed-shape scan carry."""
-        return not self.spec.store_all
+        That now includes store_all: its only consumer
+        (`aggregate_attention`) averages maps across steps, so the scan
+        carries a fixed-shape per-layer running SUM (`take_step_store` /
+        `add_step_store`) instead of a per-(step, layer) list — the
+        reference's own `between_steps` accumulation
+        (`utils/p2p.py:155-162`) expressed as a scan carry."""
+        return True
+
+    def take_step_store(self):
+        """Stack and clear the per-layer maps the hooks appended during
+        ONE step into {store_key: (L, B, H, Sq, Sk) fp32} — the scan
+        carry seed (from the unrolled step 0) and the per-iteration
+        increment inside the scan body."""
+        out = {
+            k: jnp.stack([m.astype(jnp.float32) for m in v])
+            for k, v in self.store.items() if v
+        }
+        self.store = {}
+        return out
+
+    def add_step_store(self, sums):
+        """sums + this step's maps (shapes are per-layer static)."""
+        step = self.take_step_store()
+        return {k: sums[k] + step[k] for k in sums}
+
+    def finalize_store(self, sums, num_steps: int) -> None:
+        """Write the carried sums back as per-layer STEP-AVERAGED maps
+        (store[key] = [avg_layer_0, avg_layer_1, ...]). Downstream
+        `aggregate_attention` yields the identical result as the
+        unrolled per-(step, layer) store: every hooked layer fires every
+        step, so mean-over-steps-then-layers == global mean."""
+        self.store = {
+            k: [v[l] / num_steps for l in range(v.shape[0])]
+            for k, v in sums.items()
+        }
 
     def scan_step_callback(self, x_t, step, accum):
         """Traced-step twin of `step_callback` with the LocalBlend map

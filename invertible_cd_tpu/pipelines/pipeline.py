@@ -281,7 +281,10 @@ class InvertibleCD:
                 hook_factory=rt.hook_factory if rt else None,
                 step_callback=rt.step_callback if rt else None,
             )
-            return self._decode_latents(vae_params, latent), latent
+            # store_all: surface the (step-averaged, scan form) maps just
+            # like the cons path does
+            store = rt.store if (rt is not None and spec.store_all) else {}
+            return self._decode_latents(vae_params, latent), latent, store
         return jax.jit(run)
 
     def _build_ddim_invert(self, g: S.GuidanceConfig):
@@ -449,10 +452,13 @@ class InvertibleCD:
         fn = self._get_jit("ddim_generate", g, spec, nti_uncond is not None)
         if nti_uncond is None:
             nti_uncond = jnp.zeros((0,))
-        return fn(
+        images, latents, store = fn(
             self.params[model], self.params["vae"], latent, ctx_u, ctx_c,
             arrays, nti_uncond, added,
         )
+        if spec is not None and spec.store_all:
+            return images, latents, store
+        return images, latents
 
     def ddim_invert(
         self,

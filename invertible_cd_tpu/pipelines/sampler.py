@@ -288,16 +288,18 @@ def ddim_loop(
     Without controller hooks the 50 steps compile as ONE `lax.scan` body
     (per-step guidance constants become scan inputs) — a 50x smaller XLA
     graph than unrolling, which matters for full-size UNets. Hooked runs
-    ALSO scan when the controller supports it (every p2p controller except
-    store_all: `ControllerRuntime.scan_supported`): the per-step behavior
-    is data (traced gathers over the step index, `edit_attention`), so one
+    ALSO scan when the controller supports it (every p2p controller,
+    `ControllerRuntime.scan_supported`): the per-step behavior is data
+    (traced gathers over the step index, `edit_attention`), so one
     unrolled step 0 (which sizes the LocalBlend accumulator) plus an
     (N-1)-iteration scan replaces N unrolled hooked UNet calls. Measured
     at full SD1.5 on the chip (tools/exp_hooked_compile.py): unrolled
     617 s lower + 822 s remote compile, 5.43 GB peak temp; scan form
     242 s + 147 s (3.7x end-to-end, one-time per config — the compile
-    cache amortises it) and 2.24 GB peak temp. store_all runs stay
-    unrolled.
+    cache amortises it) and 2.24 GB peak temp. store_all runs carry a
+    per-layer running SUM of the <=32^2 attention maps through the scan
+    (fixed shapes) and surface step-averaged maps — identical
+    `aggregate_attention` results as the unrolled per-step store.
     """
     timesteps = grid.ddim_timesteps[::-1] if not is_forward else grid.ddim_timesteps
     # Reference indexes scheduler.timesteps (descending) from the back for
@@ -464,19 +466,26 @@ def _ddim_loop_scan_hooked(
     )
     lat = rt.step_callback(lat, 0)
     accum = jnp.stack(rt._accum_maps) if rt._accum_maps else None
+    # store_all: the per-layer maps step 0's hooks collected seed the
+    # running-sum scan carry (fixed shapes; consumers average over steps)
+    store_sums = rt.take_step_store() if rt.spec.store_all else {}
 
     def body(carry, xs):
-        lat, accum = carry
+        lat, accum, sums = carry
         t, w_emb, scale, cu, step = xs
         lat = one_step(lat, t, w_emb, scale, cu, step)
         lat, accum = rt.scan_step_callback(lat, step, accum)
-        return (lat, accum), (lat if return_all else None)
+        if rt.spec.store_all:
+            sums = rt.add_step_store(sums)
+        return (lat, accum, sums), (lat if return_all else None)
 
     steps = jnp.arange(1, n, dtype=jnp.int32)
-    (final, _), traj = jax.lax.scan(
-        body, (lat, accum),
+    (final, _, store_sums), traj = jax.lax.scan(
+        body, (lat, accum, store_sums),
         (ts[1:], w_embs[1:], scales[1:], per_step_uncond[1:], steps),
     )
+    if rt.spec.store_all:
+        rt.finalize_store(store_sums, n)
     if return_all:
         return jnp.concatenate([jnp.stack([latent, lat]), traj], axis=0)
     return final
