@@ -442,6 +442,15 @@ def main(argv=None):
             )
             for k in keys
         }
+        if any(v is None for v in summary["metrics"].values()):
+            # no absolute anchor without the published scorer weights
+            # (zero-egress container); the harness still proves plumbing
+            summary["metrics_note"] = (
+                "null metrics = scorer weights not provided; pass "
+                "--clip_vision_weights/--dino_weights/... (see "
+                "scripts/download_fid_files.sh and PARITY.md) to score "
+                "with the reference protocol"
+            )
         print("metrics:", summary["metrics"])
     with open(os.path.join(args.out, "results.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -396,6 +396,15 @@ def main(argv=None, _pipe=None):
             "image_reward": float(np.mean(ir_scores)) if ir_scores else None,
             "n_images": len(saved),
         }
+        if metrics["clip_score"] is None or metrics["image_reward"] is None:
+            # no absolute anchor without the published scorer weights
+            # (zero-egress container); the harness still proves plumbing
+            metrics["metrics_note"] = (
+                "null metrics = scorer weights not provided; pass "
+                "--clip_vision_weights/--clip_text_scorer_weights/"
+                "--image_reward_weights (see PARITY.md) to score with "
+                "the reference protocol"
+            )
         if fid_scorer is not None and fid_images:
             # generation FID against reference stats — the reference
             # declares --path_to_fid_reference/--path_to_inception on its

@@ -104,9 +104,10 @@ def make_server(args, pipe=None):
     if getattr(args, "dp", 0) or sp > 1:
         from invertible_cd_tpu.parallel import make_mesh
 
-        # --sp alone serves one image cooperatively across sp chips
-        # (dp defaults to 1); --dp alone is pure data parallelism.
-        mesh = make_mesh(dp=max(1, getattr(args, "dp", 0) or 1), fsdp=1,
+        # --sp alone serves each batch spatially partitioned over sp
+        # chips with dp auto-filled over the remaining devices (dp=None
+        # -> n_devices // sp); --dp alone is pure data parallelism.
+        mesh = make_mesh(dp=getattr(args, "dp", 0) or None, fsdp=1,
                          sp=sp, tp=1)
     executor = BatchingExecutor(
         pipe, batch_size=args.batch_size, batch_sizes=sizes,

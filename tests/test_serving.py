@@ -176,6 +176,25 @@ class TestHTTPServer:
         ex.shutdown()
         srv.server_close()
 
+    def test_sp_only_flag_creates_mesh(self, served_pipe):
+        """--sp without --dp must still serve spatially partitioned
+        (ADVICE r4: it used to be silently ignored unless --dp was set)."""
+        from cli.serve import make_server, parse_args
+
+        args = parse_args(
+            ["--model", "tiny", "--port", "0", "--batch_size", "4",
+             "--sp", "2"]
+        )
+        srv, ex = make_server(args, pipe=served_pipe)
+        try:
+            assert ex.mesh is not None
+            assert int(ex.mesh.shape["sp"]) == 2
+            # dp auto-fills over the remaining devices (8 cpu / sp2)
+            assert int(ex.mesh.shape["dp"]) == len(jax.devices()) // 2
+        finally:
+            ex.shutdown()
+            srv.server_close()
+
     def test_generate_and_healthz(self, server):
         port = server.server_address[1]
         req = urllib.request.Request(

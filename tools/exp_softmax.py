@@ -107,7 +107,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sk: int,
 
 
 def flash_variant(q, k, v, variant: str, block_q=256, block_k=512,
-                  scale=None):
+                  scale=None, interpret=False):
     g, sq, d = q.shape
     sk = k.shape[1]
     scale = scale if scale is not None else float(d) ** -0.5
@@ -122,6 +122,7 @@ def flash_variant(q, k, v, variant: str, block_q=256, block_k=512,
         ],
         out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((g, sq, d), q.dtype),
+        interpret=interpret,
     )(q, k, v)
 
 
