@@ -9,8 +9,8 @@ Modes (`python bench.py [--mode MODE]`):
                  overall wall-clock budget (env ICD_BENCH_BUDGET_S,
                  default 1680 s) — see MODE_PLAN / bench_all. Order: gen
                  (config 1 — FIRST, so a driver that reads the first
-                 line gets the headline), gen_int8_static, train4,
-                 sdxl_train, edit, sdxl, sdxl_edit. A mode whose remote
+                 line gets the headline), gen_int8_static, sdxl_train,
+                 edit, sdxl, sdxl_edit, train4. A mode whose remote
                  compile hangs is SIGKILLed at its cap and the run moves
                  on; completed lines are always emitted (round-4 lesson:
                  BENCH_r04 captured nothing because one in-process run
@@ -484,12 +484,14 @@ def bench_sdxl_train():
 # beyond that; raise ICD_BENCH_BUDGET_S to capture the full set.
 MODE_PLAN = [
     ("gen", 560),             # config 1 — the headline, always first
-    ("gen_int8_static", 560),  # second headline: calibrated int8 MXU path
-    ("sdxl_train", 560),      # SDXL-architecture on-chip training rung
-    ("train4", 560),          # config 5b: full 4-loss SD1.5 step
+    ("gen_int8_static", 700),  # second headline: calibrated int8 MXU path
+    ("sdxl_train", 700),      # SDXL-architecture on-chip training rung
     ("edit", 660),            # config 2 (measured 554 s cold)
-    ("sdxl", 660),            # config 3 (largest compile)
-    ("sdxl_edit", 660),       # config 4
+    ("sdxl", 700),            # config 3 (measured 613 s cold)
+    ("sdxl_edit", 700),       # config 4
+    ("train4", 900),          # config 5b: full 4-loss SD1.5 step —
+                              # heaviest compile (split-step, ~15 min
+                              # cold); lands only with a raised budget
 ]
 
 

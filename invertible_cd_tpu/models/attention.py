@@ -160,7 +160,12 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     # multiply (196 vs 225 Gop/s), with exp2(x·log2e), raw exp2 and bf16
     # exp all within ±6% — the VPU's transcendental is already one-pass,
     # so the floor is total elementwise throughput, not exp specifically
-    # (round 4). Keep the simple call; do not retry.
+    # (round 4). Round 5 confirmed with IN-KERNEL variants
+    # (tools/exp_softmax.py, 32-iter chained timing x3 runs): exp2-folded
+    # softmax +0.6 ms/layer, bf16-exp probabilities +0.6 ms (the VPU
+    # upcasts), and an unsafe no-running-max bound at -0.8 ms caps the
+    # online-softmax bookkeeping at ~8%. Keep the simple call; do not
+    # retry — the shipped lever past the floor is int8 (ops/quant.py).
     return jax.nn.dot_product_attention(q, k, v)
 
 
