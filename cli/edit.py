@@ -40,6 +40,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from invertible_cd_tpu.utils.cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 STOPWORDS = {
     "a", "an", "the", "of", "on", "in", "at", "and", "is", "are", "with",
     "to", "for", "by", "from", "its", "his", "her",

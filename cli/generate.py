@@ -36,6 +36,10 @@ if "--platform" in sys.argv:
 import jax
 import numpy as np
 
+from invertible_cd_tpu.utils.cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 
 
 

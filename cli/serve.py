@@ -85,6 +85,11 @@ def make_server(args, pipe=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from invertible_cd_tpu.utils.cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     from invertible_cd_tpu.serving import BatchingExecutor
 
     if pipe is None:

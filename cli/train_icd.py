@@ -44,6 +44,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from invertible_cd_tpu.utils.cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 
 
 
