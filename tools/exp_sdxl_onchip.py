@@ -17,6 +17,11 @@ and records per rung: compile seconds, step seconds, or the exact
 failure signature. The output pins (a) the LARGEST SDXL-architecture
 step that trains on this chip and (b) the service cliff.
 
+Measured (round 5): fusing the depth-4 @ 96^2 cd2 rung into ONE program
+(--no_split) is an HBM permanent error — 15.86G needed vs 15.75G
+(program 8.99G + arguments 6.87G) — so the per-student split step is a
+memory requirement on this chip, not just a compile-service workaround.
+
 Usage:
   python tools/exp_sdxl_onchip.py                 # the ladder
   python tools/exp_sdxl_onchip.py --depth 10 --latent 128 --losses full4
