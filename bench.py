@@ -507,6 +507,14 @@ MODE_PLAN = [
     ("train4", 900),          # config 5b: full 4-loss SD1.5 step —
                               # heaviest compile (split-step, ~15 min
                               # cold); lands only with a raised budget
+                              # or a warm executable cache
+    # Tail configs: skipped cold, but with the persistent executable
+    # cache warm each costs only minutes, so a repeat driver run can
+    # capture the complete set.
+    ("latency", 400),         # config 1b: batch-1 latency
+    ("train", 560),           # config 5: CD-loss step, batch 4
+    ("edit_sweep", 560),      # config 2b: PieBench-style sweep rows/min
+    ("serve", 480),           # config 1c: serving throughput
 ]
 
 
@@ -538,8 +546,14 @@ def bench_all():
         print(f"[bench all +{time.monotonic() - t_start:.0f}s] {msg}",
               file=sys.stderr, flush=True)
 
+    # A raised budget also raises the per-mode caps proportionally —
+    # ICD_BENCH_BUDGET_S=7200 is "let every mode finish cold and
+    # populate the executable cache", so a fixed 700 s cap would defeat
+    # the point for the heavy training modes.
+    cap_scale = max(1.0, budget / 1680.0)
+
     def run_mode(mode, cap):
-        cap = min(cap, remaining())
+        cap = min(cap * cap_scale, remaining())
         if cap < 60:
             log(f"{mode}: skipped ({cap:.0f}s left < 60s floor)")
             return False
