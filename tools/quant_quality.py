@@ -50,6 +50,10 @@ def parse_args(argv=None):
     p.add_argument("--text_checkpoint", default=None)
     p.add_argument("--vgg_weights", default=None)
     p.add_argument("--lpips_heads_weights", default=None)
+    p.add_argument("--generate_only", action="store_true",
+                   help="skip the invert->reconstruct phase (its two "
+                        "invert programs are the most expensive compiles "
+                        "in this tool)")
     return p.parse_args(argv)
 
 
@@ -126,9 +130,21 @@ def main(argv=None):
         pipe.quantize = "off"
         return np.concatenate(outs, axis=0)
 
+    import sys
+    import time
+
+    t0 = time.monotonic()
+
+    def stage(msg):
+        print(f"[quant_quality +{time.monotonic() - t0:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    stage("generating bf16 reference set")
     ref = sweep("off")
     if args.quantize == "int8_static":
+        stage("calibrating static scales")
         pipe.collect_quant_stats(prompts[: args.batch_size])
+    stage(f"generating {args.quantize} set")
     qnt = sweep(args.quantize)
 
     # invert->reconstruct the bf16 images under both modes: the editing
@@ -147,18 +163,23 @@ def main(argv=None):
         pipe.quantize = "off"
         return np.concatenate(recs, axis=0)
 
-    rt_ref = roundtrip("off", ref)
-    rt_qnt = roundtrip(args.quantize, ref)
-
     out = {
         "quantize": args.quantize,
         "n": len(prompts),
         "psnr_generate": round(psnr(ref * 255, qnt * 255), 3),
-        "psnr_roundtrip": round(psnr(rt_ref * 255, rt_qnt * 255), 3),
     }
     if lpips is not None:
         out["lpips_generate"] = round(lpips.lpips_distance(ref, qnt), 5)
-        out["lpips_roundtrip"] = round(lpips.lpips_distance(rt_ref, rt_qnt), 5)
+    if not args.generate_only:
+        stage("bf16 invert->reconstruct")
+        rt_ref = roundtrip("off", ref)
+        stage(f"{args.quantize} invert->reconstruct")
+        rt_qnt = roundtrip(args.quantize, ref)
+        out["psnr_roundtrip"] = round(psnr(rt_ref * 255, rt_qnt * 255), 3)
+        if lpips is not None:
+            out["lpips_roundtrip"] = round(
+                lpips.lpips_distance(rt_ref, rt_qnt), 5
+            )
     print(json.dumps(out))
 
 
