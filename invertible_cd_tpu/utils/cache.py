@@ -20,6 +20,12 @@ DEFAULT_DIR = "/tmp/icd_tpu_jax_cache"
 def enable_persistent_compilation_cache(path: str | None = None) -> str:
     import jax
 
+    # Respect an already-configured cache dir (e.g. tests/conftest.py
+    # points the suite at tests/.jax_cache) — only fill in the default
+    # when nothing set one.
+    current = jax.config.jax_compilation_cache_dir
+    if path is None and current:
+        return current
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", DEFAULT_DIR)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
