@@ -60,6 +60,7 @@ class InvertibleCDXL(InvertibleCD):
         unet_cfg: Optional[UNetConfig] = None,
         latent_size: Tuple[int, int] = (128, 128),
         quantize: str = "off",
+        vae_dtype=jnp.float32,
     ) -> "InvertibleCDXL":
         unet_cfg = unet_cfg or UNetConfig.sdxl()
         clip_cfg = CLIPTextConfig.vit_l()
@@ -68,8 +69,12 @@ class InvertibleCDXL(InvertibleCD):
         unet = UNet2DCondition(unet_cfg, dtype=dtype)
         text = CLIPTextModel(clip_cfg, dtype=dtype)
         text2 = CLIPTextModel(clip2_cfg, dtype=dtype)
-        # fp32 VAE: SDXL's decoder overflows in reduced precision
-        vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
+        # fp32 VAE by default: SDXL's decoder overflows in FP16 (the
+        # reference's rationale, `generation_sdxl.py:465-466`). bf16 has
+        # fp32's exponent range, so vae_dtype=jnp.bfloat16 is a safe
+        # opt-in precision/speed trade on TPU (the fp32 decode runs at
+        # half the MXU rate) — measured quality/speed in README.
+        vae = AutoencoderKL(vae_cfg, dtype=vae_dtype)
         tok = tokenizer or default_tokenizer()
         # OpenCLIP pads with 0, not eot (reference tokenizer_2 config).
         tok2 = tokenizer_2 or default_tokenizer(pad_token_id=0)
