@@ -69,18 +69,17 @@ import jax
 
 # The env var alone is INERT in this container: sitecustomize imports
 # jax at interpreter start (to register the axon backend), so the
-# config default was read before any user code ran. The explicit
-# config.update below makes the persistent cache real — verified
-# cross-process executable deserialization on the axon backend
-# (2026-08-20: second-process compile 2.7 s -> 1.2 s on a probe;
-# mode-level effect is the difference between a ~6 min remote compile
-# and seconds). Every mode subprocess inherits this module-level setup.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/icd_tpu_jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# config default was read before any user code ran. The helper makes
+# the persistent cache real — verified cross-process executable
+# deserialization on the axon backend (2026-08-20: second-process
+# compile 2.7 s -> 1.2 s on a probe; mode-level effect is the
+# difference between a ~6 min remote compile and seconds) — while
+# RESPECTING an already-configured dir (tests/conftest.py points the
+# suite at tests/.jax_cache and imports this module via
+# test_bench_plan.py). Every mode subprocess inherits this setup.
+from invertible_cd_tpu.utils.cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 
 import jax.numpy as jnp
 import numpy as np
@@ -562,17 +561,23 @@ def bench_all():
             log(f"{mode}: skipped ({cap:.0f}s left < 60s floor)")
             return False
         log(f"{mode}: start (cap {cap:.0f}s)")
+        returncode = None
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--mode", mode],
                 stdout=subprocess.PIPE, stderr=None, timeout=cap,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-        except subprocess.TimeoutExpired:
+            stdout = proc.stdout
+            returncode = proc.returncode
+        except subprocess.TimeoutExpired as e:
+            # a mode can print its result line and THEN hang in backend
+            # teardown (this container's known slow-teardown mode) —
+            # salvage whatever stdout the child produced before the kill
             log(f"{mode}: KILLED at {cap:.0f}s cap")
-            return False
+            stdout = e.stdout or b""
         ok = False
-        for line in proc.stdout.decode(errors="replace").splitlines():
+        for line in stdout.decode(errors="replace").splitlines():
             line = line.strip()
             try:
                 parsed = json.loads(line)
@@ -583,8 +588,10 @@ def bench_all():
             if isinstance(parsed, dict) and "metric" in parsed:
                 print(line, flush=True)
                 ok = True
-        if proc.returncode != 0:
-            log(f"{mode}: exit rc={proc.returncode}")
+        if returncode is None:
+            pass  # killed at cap (already logged)
+        elif returncode != 0:
+            log(f"{mode}: exit rc={returncode}")
         else:
             log(f"{mode}: done")
         return ok

@@ -106,14 +106,21 @@ def make_server(args, pipe=None):
     )
     mesh = None
     sp = max(1, getattr(args, "sp", 1) or 1)
-    if getattr(args, "dp", 0) or sp > 1:
+    dp = getattr(args, "dp", 0) or 0
+    if dp or sp > 1:
+        import jax
+
         from invertible_cd_tpu.parallel import make_mesh
 
         # --sp alone serves each batch spatially partitioned over sp
         # chips with dp auto-filled over the remaining devices (dp=None
         # -> n_devices // sp); --dp alone is pure data parallelism.
-        mesh = make_mesh(dp=getattr(args, "dp", 0) or None, fsdp=1,
-                         sp=sp, tp=1)
+        # An EXPLICIT dp with sp uses only dp*sp devices, so
+        # `--dp 1 --sp 2 --batch_size 1` (the small-batch latency shape
+        # sp exists for) works on a host with more chips.
+        devices = jax.devices()[: dp * sp] if dp else None
+        mesh = make_mesh(dp=dp or None, fsdp=1, sp=sp, tp=1,
+                         devices=devices)
     executor = BatchingExecutor(
         pipe, batch_size=args.batch_size, batch_sizes=sizes,
         max_delay=args.max_delay_ms / 1e3, guidance=g, mesh=mesh,

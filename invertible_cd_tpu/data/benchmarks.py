@@ -65,11 +65,18 @@ def load_benchmark(
 
     if kind == "generation":
         if with_files:
-            out: List = [
-                (r.get("file_name") or f"{r.get('id', i)}.jpg", r["caption"])
-                for i, r in enumerate(rows)
-                if r.get("caption")
-            ]
+            # Parti's schema has ids instead of file names -> "<id>.jpg";
+            # a row with NEITHER a file_name nor an id is skipped (never
+            # fabricate a name — reconstruct mode would try to open it).
+            out: List = []
+            for r in rows:
+                if not r.get("caption"):
+                    continue
+                name = r.get("file_name")
+                if not name and r.get("id") not in (None, ""):
+                    name = f"{r['id']}.jpg"
+                if name:
+                    out.append((name, r["caption"]))
         else:
             out = [r["caption"] for r in rows if r.get("caption")]
     else:

@@ -446,21 +446,28 @@ class ControllerRuntime:
         return True
 
     def take_step_store(self):
-        """Stack and clear the per-layer maps the hooks appended during
-        ONE step into {store_key: (L, B, H, Sq, Sk) fp32} — the scan
-        carry seed (from the unrolled step 0) and the per-iteration
-        increment inside the scan body."""
+        """Clear and return the per-layer maps the hooks appended during
+        ONE step as {store_key: [fp32 map per layer, in call order]} —
+        the scan carry seed (from the unrolled step 0) and the
+        per-iteration increment inside the scan body. Kept as per-layer
+        LISTS, not a stacked array: one store_key ("down_cross" etc.)
+        legitimately collects maps at several query resolutions on the
+        real models (SD1.5's down place hooks 1024- and 256-token
+        layers), which cannot stack."""
         out = {
-            k: jnp.stack([m.astype(jnp.float32) for m in v])
+            k: [m.astype(jnp.float32) for m in v]
             for k, v in self.store.items() if v
         }
         self.store = {}
         return out
 
     def add_step_store(self, sums):
-        """sums + this step's maps (shapes are per-layer static)."""
+        """sums + this step's maps (per-layer shapes are static and the
+        hook call order is identical every step)."""
         step = self.take_step_store()
-        return {k: sums[k] + step[k] for k in sums}
+        return {
+            k: [a + b for a, b in zip(sums[k], step[k])] for k in sums
+        }
 
     def finalize_store(self, sums, num_steps: int) -> None:
         """Write the carried sums back as per-layer STEP-AVERAGED maps
@@ -469,8 +476,7 @@ class ControllerRuntime:
         unrolled per-(step, layer) store: every hooked layer fires every
         step, so mean-over-steps-then-layers == global mean."""
         self.store = {
-            k: [v[l] / num_steps for l in range(v.shape[0])]
-            for k, v in sums.items()
+            k: [v / num_steps for v in vs] for k, vs in sums.items()
         }
 
     def scan_step_callback(self, x_t, step, accum):

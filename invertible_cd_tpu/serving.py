@@ -38,7 +38,7 @@ import contextlib
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Optional, Sequence
 
 import functools
@@ -61,6 +61,21 @@ def _seed_latents(lo: jax.Array, hi: jax.Array, h: int, w: int) -> jax.Array:
         return jax.random.normal(key, (h, w, 4), jnp.float32)
 
     return jax.vmap(one)(lo, hi)
+
+
+def _resolve(fut: Future, value=None, error: Exception | None = None) -> None:
+    """set_result/set_exception tolerant of a client cancel() racing the
+    done() check — a just-cancelled future raises InvalidStateError on
+    set, which must not fail the REST of the batch's futures."""
+    try:
+        if fut.done():
+            return
+        if error is not None:
+            fut.set_exception(error)
+        else:
+            fut.set_result(value)
+    except InvalidStateError:
+        pass
 
 
 class BatchingExecutor:
@@ -213,8 +228,7 @@ class BatchingExecutor:
                 drained_sentinel = True
             else:
                 fut = item[2]
-                if not fut.done():
-                    fut.set_exception(RuntimeError("executor is shut down"))
+                _resolve(fut, error=RuntimeError("executor is shut down"))
         if drained_sentinel and self._worker.is_alive():
             self._queue.put(None)
 
@@ -289,12 +303,10 @@ class BatchingExecutor:
             try:
                 host = np.asarray(images[:n])
                 for (_, _, fut, _), img in zip(batch, host):
-                    if not fut.done():  # client may have cancel()ed
-                        fut.set_result(img)
+                    _resolve(fut, img)  # client may have cancel()ed
             except Exception as e:  # noqa: BLE001 — futures carry the error
                 for _, _, fut, _ in batch:
-                    if not fut.done():
-                        fut.set_exception(e)
+                    _resolve(fut, error=e)
 
     def _run(self):
         rng = np.random.default_rng(0)
@@ -318,9 +330,9 @@ class BatchingExecutor:
                 if fut.cancelled():
                     continue
                 if deadline is not None and now > deadline:
-                    fut.set_exception(
-                        TimeoutError("request expired before dispatch")
-                    )
+                    _resolve(fut, error=TimeoutError(
+                        "request expired before dispatch"
+                    ))
                     with self._stats_lock:
                         self._stats["expired"] += 1
                     continue
@@ -361,8 +373,7 @@ class BatchingExecutor:
                 self._completion.put((batch, images, n))
             except Exception as e:  # noqa: BLE001 — futures carry the error
                 for _, _, fut, _ in batch:
-                    if not fut.done():
-                        fut.set_exception(e)
+                    _resolve(fut, error=e)
             with self._stats_lock:
                 self._stats["batches"] += 1
                 self._stats["padded_slots"] += pad

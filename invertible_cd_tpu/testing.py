@@ -89,14 +89,17 @@ def tiny_bundle(
     seed: int = 0,
     latent_size: Tuple[int, int] = (16, 16),
     dtype=jnp.float32,
+    unet_cfg: "UNetConfig" = None,
 ) -> InvertibleCD:
     """A fully functional miniature InvertibleCD (random weights).
 
     UNet ~ 300k params, CLIP ~ 100k, VAE ~ 100k; pixels are 32x32 (the tiny
     VAE downsamples 2x). Initialisation is real (random, not zeros) so
-    numerical tests exercise non-degenerate paths.
+    numerical tests exercise non-degenerate paths. `unet_cfg` overrides
+    the default tiny config (e.g. cross-attention at EVERY level, which
+    reproduces the real models' multi-resolution attention stores).
     """
-    unet_cfg = UNetConfig.tiny()
+    unet_cfg = unet_cfg or UNetConfig.tiny()
     clip_cfg = CLIPTextConfig.tiny()
     vae_cfg = VAEConfig.tiny()
     unet = UNet2DCondition(unet_cfg, dtype=dtype)

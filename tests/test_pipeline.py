@@ -165,6 +165,38 @@ class TestAttentionStore:
         assert agg.shape == (16, 16, 77)
         assert np.isfinite(np.asarray(agg)).all()
 
+    def test_store_scan_multi_resolution(self):
+        """The real models collect maps at SEVERAL query resolutions
+        under one store_key (SD1.5's down place hooks 1024- and
+        256-token layers), so the scan store must carry per-layer LISTS
+        — a stacked (L, ...) carry crashes on heterogeneous shapes
+        (round-5 review finding; the default tiny config has a single
+        attention resolution and masked it)."""
+        import dataclasses
+
+        from invertible_cd_tpu.edit import (
+            aggregate_attention, empty_arrays, store_controller,
+        )
+        from invertible_cd_tpu.models import UNetConfig
+        from invertible_cd_tpu.testing import tiny_bundle
+
+        cfg = dataclasses.replace(
+            UNetConfig.tiny(), cross_attn_blocks=(True, True)
+        )
+        mr_pipe = tiny_bundle(unet_cfg=cfg)
+        spec = store_controller(
+            num_steps=mr_pipe.grid.n_steps, batch_size=1
+        )
+        arrays = empty_arrays(mr_pipe.grid.n_steps, 1)
+        _, _, store = mr_pipe.ddim_generate(
+            ["a cat"], key=jax.random.PRNGKey(1), controller=(spec, arrays)
+        )
+        res = {m.shape[2] for v in store.values() for m in v}
+        assert len(res) >= 2, res  # genuinely heterogeneous
+        agg = aggregate_attention(store, 16, ["down", "mid", "up"],
+                                  is_cross=True)
+        assert np.isfinite(np.asarray(agg)).all()
+
     def test_store_50_step_scan_matches_unrolled(self, pipe):
         """The 50-step visualisation run (reference AttentionStore over
         the full DDIM loop, `utils/p2p.py:138-173`) rides the SCAN form:

@@ -195,6 +195,28 @@ class TestHTTPServer:
             ex.shutdown()
             srv.server_close()
 
+    def test_explicit_dp_with_sp_uses_device_subset(self, served_pipe):
+        """`--dp 1 --sp 2 --batch_size 1` — the small-batch latency
+        shape sp exists for — must build a 2-device mesh on a host with
+        more chips instead of tripping make_mesh's all-devices assert
+        (round-5 review finding)."""
+        from cli.serve import make_server, parse_args
+
+        args = parse_args(
+            ["--model", "tiny", "--port", "0", "--batch_size", "1",
+             "--dp", "1", "--sp", "2"]
+        )
+        srv, ex = make_server(args, pipe=served_pipe)
+        try:
+            assert dict(ex.mesh.shape) == {
+                "dp": 1, "fsdp": 1, "sp": 2, "tp": 1
+            }
+            img = ex.generate("a subset cat", seed=5)
+            assert np.isfinite(img).all()
+        finally:
+            ex.shutdown()
+            srv.server_close()
+
     def test_generate_and_healthz(self, server):
         port = server.server_address[1]
         req = urllib.request.Request(

@@ -26,10 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/tmp/icd_tpu_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+from invertible_cd_tpu.utils.cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 
 from invertible_cd_tpu.models import AutoencoderKL
 from invertible_cd_tpu.models.vae import VAEConfig
