@@ -62,6 +62,19 @@ class TestBatchingExecutor:
         # distinct seeds -> distinct latents -> distinct images
         assert np.abs(imgs[0] - imgs[1]).max() > 0
 
+    def test_large_seeds_distinct_latents(self, served_pipe):
+        """Seeds beyond int32 must keep their high bits: the latent
+        program receives the seed as 32-bit halves (x64 is disabled
+        under jit), so seeds differing ONLY above bit 31 must still
+        produce different images — and stay reproducible."""
+        big = 2**40 + 123
+        with BatchingExecutor(served_pipe, batch_size=2, max_delay=0.05) as ex:
+            a = ex.generate("hi-bit seed", seed=big)
+            b = ex.generate("hi-bit seed", seed=big + 2**32)  # same low half
+            a2 = ex.generate("hi-bit seed", seed=big)
+        assert np.abs(a - b).max() > 0, "high seed bits were dropped"
+        np.testing.assert_array_equal(a, a2)
+
     def test_independent_seeds_reproducible(self, served_pipe):
         pipe = served_pipe
         with BatchingExecutor(pipe, batch_size=2, max_delay=0.05) as ex:
