@@ -596,6 +596,37 @@ def bench_all():
             log(f"{mode}: done")
         return ok
 
+    def backend_alive(cap: float = 90.0) -> bool:
+        """One tiny matmul+fetch in a subprocess: the tunneled backend
+        can wedge (PJRT data plane hangs while the compile endpoint
+        still answers — observed 2026-08-20, and the likely root cause
+        of round 4's zero-line BENCH), in which state even
+        jax.devices() blocks forever."""
+        probe = (
+            "import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((256,256)) @ jnp.ones((256,256))).sum()))"
+        )
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", probe], timeout=cap,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return p.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    # Wedged-backend guard: burning every mode's cap against a dead
+    # device yields rc=0 with zero lines after the full budget. Instead
+    # poll cheaply (90 s probe + 60 s sleep) while at least half the
+    # budget remains — if the tunnel recovers mid-run, the real modes
+    # still land; if not, the attempt record in stderr says why.
+    while not backend_alive():
+        if remaining() < budget * 0.5:
+            log("backend still unreachable; attempting modes anyway")
+            break
+        log("backend probe failed (tunnel wedged?); retrying in 60s")
+        time.sleep(60)
+
     for i, (mode, cap) in enumerate(MODE_PLAN):
         ok = run_mode(mode, cap)
         if not ok and i == 0 and remaining() > 300:
